@@ -1,0 +1,355 @@
+"""TPU-native ORB feature extraction: pyramid FAST + steered BRIEF.
+
+Replaces the reference ``ORBextractor`` (/root/reference/src/ORBextractor.cc):
+  * ``ComputePyramid`` (:1687)        -> :func:`build_pyramid` (XLA resize chain)
+  * FAST + grid + quadtree (:711,:1061)-> dense FAST score map (rolled-slice
+    segment test), 3x3 NMS, per-cell threshold fallback 20->7, and per-tile
+    top-k in place of the sequential ``DistributeOctTree`` (SURVEY.md §7.3).
+  * ``IC_Angle`` (:91)                -> circular-moment convolutions m10/m01
+    evaluated densely, sampled at keypoints.
+  * ``computeOrbDescriptor`` (:150)    -> batched rotated-pattern gather from
+    the 7x7 sigma=2 Gaussian-blurred level (:1632), packed into uint32 words.
+
+Behaviour constants from SURVEY.md Appendix A: PATCH=31/HALF=15, EDGE=19,
+FAST radius 3 thresholds 20->7, 8 levels, scale 1.2, geometric per-level
+feature budget. Deviation (flagged in SURVEY §7.3): spatial distribution uses
+per-tile top-k by response instead of the quadtree; tile size 32 px
+(reference cell: 35 px).
+
+Everything is static-shaped: each pyramid level yields a fixed-capacity
+keypoint slab with a validity mask.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# --- constants (Appendix A parity) -----------------------------------------
+PATCH_SIZE = 31
+HALF_PATCH_SIZE = 15
+EDGE_THRESHOLD = 19
+FAST_RADIUS = 3
+INI_TH_FAST = 20.0
+MIN_TH_FAST = 7.0
+TILE = 32            # spatial-distribution tile (reference grid cell: 35)
+
+# BRIEF sampling pattern: standard ORB bit_pattern_31 constant (256 pairs),
+# identical to /root/reference/src/ORBextractor.cc:206 (itself from OpenCV).
+_PATTERN = np.load(os.path.join(os.path.dirname(__file__), "orb_pattern.npy"))
+PATTERN_AX = jnp.asarray(_PATTERN[:, 0], jnp.float32)
+PATTERN_AY = jnp.asarray(_PATTERN[:, 1], jnp.float32)
+PATTERN_BX = jnp.asarray(_PATTERN[:, 2], jnp.float32)
+PATTERN_BY = jnp.asarray(_PATTERN[:, 3], jnp.float32)
+
+# Bresenham circle r=3, 16 px, contiguous order (matches cv::FAST geometry).
+_CIRCLE = np.array([
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+], np.int32)  # (dx, dy)
+
+
+def _umax_table() -> np.ndarray:
+    """Circular-patch half-widths for IC_Angle (ORBextractor ctor :496-520)."""
+    umax = np.zeros(HALF_PATCH_SIZE + 1, np.int32)
+    vmax = int(np.floor(HALF_PATCH_SIZE * np.sqrt(2.0) / 2 + 1))
+    vmin = int(np.ceil(HALF_PATCH_SIZE * np.sqrt(2.0) / 2))
+    for v in range(vmax + 1):
+        umax[v] = int(round(np.sqrt(HALF_PATCH_SIZE**2 - v * v)))
+    v0 = 0
+    for v in range(HALF_PATCH_SIZE, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    return umax
+
+
+def _moment_kernels() -> tuple[np.ndarray, np.ndarray]:
+    """31x31 kernels K10 (x*mask) and K01 (y*mask) over the IC_Angle disc."""
+    umax = _umax_table()
+    k10 = np.zeros((PATCH_SIZE, PATCH_SIZE), np.float32)
+    k01 = np.zeros((PATCH_SIZE, PATCH_SIZE), np.float32)
+    for v in range(-HALF_PATCH_SIZE, HALF_PATCH_SIZE + 1):
+        half = umax[abs(v)]
+        for u in range(-half, half + 1):
+            k10[v + HALF_PATCH_SIZE, u + HALF_PATCH_SIZE] = u
+            k01[v + HALF_PATCH_SIZE, u + HALF_PATCH_SIZE] = v
+    return k10, k01
+
+
+_K10, _K01 = _moment_kernels()
+
+
+def _gauss_kernel_1d(ksize: int = 7, sigma: float = 2.0) -> np.ndarray:
+    r = np.arange(ksize) - ksize // 2
+    k = np.exp(-0.5 * (r / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+_GAUSS1D = _gauss_kernel_1d()
+
+
+class LevelFeatures(NamedTuple):
+    """Fixed-capacity keypoint slab for one pyramid level."""
+
+    xy: jnp.ndarray        # (K, 2) float32, level-local pixel coords (x, y)
+    response: jnp.ndarray  # (K,) FAST score
+    angle: jnp.ndarray     # (K,) radians
+    desc: jnp.ndarray      # (K, 8) uint32 packed 256-bit descriptor
+    valid: jnp.ndarray     # (K,) bool
+
+
+class FrameFeatures(NamedTuple):
+    """All-level features in level-0 coordinates (the Frame contract)."""
+
+    xy: jnp.ndarray        # (N, 2) float32, level-0 (undistorted later)
+    level: jnp.ndarray     # (N,) int32 octave
+    angle: jnp.ndarray     # (N,) radians
+    response: jnp.ndarray  # (N,)
+    desc: jnp.ndarray      # (N, 8) uint32
+    valid: jnp.ndarray     # (N,) bool
+
+
+def level_sizes(h: int, w: int, n_levels: int, scale: float):
+    out = []
+    for lv in range(n_levels):
+        s = scale ** lv
+        out.append((int(round(h / s)), int(round(w / s))))
+    return out
+
+
+def level_feature_budget(n_features: int, n_levels: int, scale: float):
+    """Geometric per-level split (ORBextractor ctor :475-494)."""
+    factor = 1.0 / scale
+    n_first = n_features * (1 - factor) / (1 - factor ** n_levels)
+    budget, total = [], 0
+    for lv in range(n_levels - 1):
+        b = int(round(n_first * factor ** lv))
+        budget.append(b)
+        total += b
+    budget.append(max(n_features - total, 0))
+    return budget
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int, scale: float):
+    """img: (H, W) float32. Chain-resize like ComputePyramid (:1687)."""
+    sizes = level_sizes(img.shape[0], img.shape[1], n_levels, scale)
+    levels = [img]
+    for lv in range(1, n_levels):
+        levels.append(jax.image.resize(levels[-1], sizes[lv], method="linear"))
+    return levels
+
+
+def fast_score_map(img: jnp.ndarray) -> jnp.ndarray:
+    """Dense FAST-9/16 corner score (OpenCV cornerScore semantics).
+
+    score(p) = max over the 16 arcs of 9 contiguous circle pixels of
+    min_i |I_i - I_p| in the consistent direction, minus 1; 0 if no arc
+    passes even at threshold 1. Computed via 16 shifted views + circular
+    log-step min-reduction (no data-dependent loops).
+    """
+    h, w = img.shape
+    r = FAST_RADIUS
+    pad = jnp.pad(img, r, mode="edge")
+    # d[k] = I(p + c_k) - I(p)
+    ds = [
+        jax.lax.dynamic_slice(pad, (r + int(dy), r + int(dx)), (h, w)) - img
+        for dx, dy in _CIRCLE
+    ]
+    d = jnp.stack(ds, 0)  # (16, H, W)
+
+    def arc_min9(x):
+        # min over 9 consecutive circle entries, for every start index.
+        m = jnp.minimum(x, jnp.roll(x, -1, 0))          # window 2
+        m = jnp.minimum(m, jnp.roll(m, -2, 0))          # 4
+        m = jnp.minimum(m, jnp.roll(m, -4, 0))          # 8
+        m = jnp.minimum(m, jnp.roll(x, -8, 0))          # 9
+        return jnp.max(m, 0)
+
+    score_bright = arc_min9(d)       # darkest pixel of the best bright arc
+    score_dark = arc_min9(-d)
+    score = jnp.maximum(score_bright, score_dark) - 1.0
+    return jnp.clip(score, 0.0, None)
+
+
+def _nms3(score: jnp.ndarray) -> jnp.ndarray:
+    m = jax.lax.reduce_window(score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+    return jnp.where(score >= m, score, 0.0)
+
+
+def _cell_threshold(score: jnp.ndarray, cell: int = 35) -> jnp.ndarray:
+    """Per-cell FAST threshold fallback: keep >=20, else >=7 within each cell
+    (ComputeKeyPointsOctTree :1061-1176 behaviour)."""
+    h, w = score.shape
+    ph = -h % cell
+    pw = -w % cell
+    s = jnp.pad(score, ((0, ph), (0, pw)))
+    tiles = s.reshape(h_t := (h + ph) // cell, cell, w_t := (w + pw) // cell, cell)
+    cell_max = tiles.max(axis=(1, 3))
+    thr = jnp.where(cell_max >= INI_TH_FAST, INI_TH_FAST, MIN_TH_FAST)
+    thr_map = jnp.repeat(jnp.repeat(thr, cell, 0), cell, 1)[:h, :w]
+    return jnp.where(score >= thr_map, score, 0.0)
+
+
+def _border_mask(score: jnp.ndarray, border: int) -> jnp.ndarray:
+    h, w = score.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ok = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    return jnp.where(ok, score, 0.0)
+
+
+def select_keypoints(score: jnp.ndarray, capacity: int, k_per_tile: int = 8):
+    """Spatially-distributed top-`capacity` selection.
+
+    Two stages, both static-shaped: (1) top-`k_per_tile` within each TILE x TILE
+    tile (spatial uniformity, quadtree stand-in), (2) global top-`capacity`
+    over tile winners by response.
+    Returns xy (capacity, 2) float32 and response/valid arrays.
+    """
+    h, w = score.shape
+    ph = -h % TILE
+    pw = -w % TILE
+    s = jnp.pad(score, ((0, ph), (0, pw)))
+    hp, wp = h + ph, w + pw
+    nty, ntx = hp // TILE, wp // TILE
+    tiles = s.reshape(nty, TILE, ntx, TILE).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(nty * ntx, TILE * TILE)
+    # Small levels may hold fewer tile-winner slots than `capacity`; widen
+    # k_per_tile until stage 2 has enough candidates.
+    while nty * ntx * k_per_tile < capacity:
+        k_per_tile *= 2
+    k_per_tile = min(k_per_tile, TILE * TILE)
+    vals, idx = jax.lax.top_k(tiles, k_per_tile)          # (T, k)
+    ty = jax.lax.broadcasted_iota(jnp.int32, (nty * ntx, k_per_tile), 0) // ntx
+    tx = jax.lax.broadcasted_iota(jnp.int32, (nty * ntx, k_per_tile), 0) % ntx
+    py = ty * TILE + idx // TILE
+    px = tx * TILE + idx % TILE
+    vals = vals.reshape(-1)
+    py = py.reshape(-1)
+    px = px.reshape(-1)
+    top_vals, top_i = jax.lax.top_k(vals, capacity)
+    sel_y = py[top_i]
+    sel_x = px[top_i]
+    valid = top_vals > 0.0
+    xy = jnp.stack([sel_x, sel_y], -1).astype(jnp.float32)
+    return xy, top_vals, valid
+
+
+def _sep_conv2d(img: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
+    """Separable 2D convolution with edge padding (Gaussian blur)."""
+    r = k1d.shape[0] // 2
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k1d.reshape(1, 1, -1, 1), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k1d.reshape(1, 1, 1, -1), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    return x
+
+
+def _conv2d_full(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    r = k.shape[0] // 2
+    x = jnp.pad(img, r, mode="constant")
+    return jax.lax.conv_general_dilated(
+        x[None, None], jnp.asarray(k)[None, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+
+
+def orientation_maps(img: jnp.ndarray):
+    """Dense IC_Angle moments: returns (m10, m01) maps (IC_Angle :91 parity)."""
+    m10 = _conv2d_full(img, _K10)
+    m01 = _conv2d_full(img, _K01)
+    return m10, m01
+
+
+def compute_descriptors(blurred: jnp.ndarray, xy: jnp.ndarray,
+                        angle: jnp.ndarray) -> jnp.ndarray:
+    """Steered BRIEF at integer keypoint centers.
+
+    blurred: (H, W); xy: (K, 2) float; angle: (K,) radians.
+    Returns (K, 8) uint32. Sampling is nearest (cvRound), clamped at borders
+    (reference guarantees a 19 px margin instead; computeOrbDescriptor :150).
+    """
+    h, w = blurred.shape
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
+    # Reference: row offset = round(px*sin + py*cos), col = round(px*cos - py*sin)
+    def rot(px, py):
+        col = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None])
+        row = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None])
+        return col, row
+
+    ax, ay = rot(PATTERN_AX, PATTERN_AY)   # (K, 256)
+    bx, by = rot(PATTERN_BX, PATTERN_BY)
+    cx = jnp.round(xy[:, 0:1])
+    cy = jnp.round(xy[:, 1:2])
+
+    def sample(ox, oy):
+        gx = jnp.clip(cx + ox, 0, w - 1).astype(jnp.int32)
+        gy = jnp.clip(cy + oy, 0, h - 1).astype(jnp.int32)
+        return blurred.reshape(-1)[gy * w + gx]
+
+    va = sample(ax, ay)
+    vb = sample(bx, by)
+    bits = (va < vb).astype(jnp.uint32)            # (K, 256)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    words = (bits.reshape(-1, 8, 32) * weights[None, None, :]).sum(-1, dtype=jnp.uint32)
+    return words  # (K, 8)
+
+
+@functools.partial(jax.jit, static_argnames=("n_features", "n_levels", "scale"))
+def extract(img: jnp.ndarray, n_features: int = 1024, n_levels: int = 8,
+            scale: float = 1.2) -> FrameFeatures:
+    """Full ORB extraction. img: (H, W) float32 grayscale in [0, 255].
+
+    Returns FrameFeatures with capacity n_features (padded, masked).
+    """
+    img = img.astype(jnp.float32)
+    pyr = build_pyramid(img, n_levels, scale)
+    budget = level_feature_budget(n_features, n_levels, scale)
+
+    xs, lvls, angs, resps, descs, valids = [], [], [], [], [], []
+    for lv, lvl_img in enumerate(pyr):
+        cap = budget[lv]
+        if cap == 0:
+            continue
+        score = fast_score_map(lvl_img)
+        score = _border_mask(score, EDGE_THRESHOLD)
+        score = _cell_threshold(score)
+        score = _nms3(score)
+        xy, resp, valid = select_keypoints(score, cap)
+
+        m10, m01 = orientation_maps(lvl_img)
+        h, w = lvl_img.shape
+        ix = jnp.clip(xy[:, 0].astype(jnp.int32), 0, w - 1)
+        iy = jnp.clip(xy[:, 1].astype(jnp.int32), 0, h - 1)
+        flat = iy * w + ix
+        angle = jnp.arctan2(m01.reshape(-1)[flat], m10.reshape(-1)[flat])
+
+        blurred = _sep_conv2d(lvl_img, jnp.asarray(_GAUSS1D))
+        desc = compute_descriptors(blurred, xy, angle)
+
+        s = scale ** lv
+        xs.append(xy * s)
+        lvls.append(jnp.full((cap,), lv, jnp.int32))
+        angs.append(angle)
+        resps.append(resp)
+        descs.append(desc)
+        valids.append(valid)
+
+    return FrameFeatures(
+        xy=jnp.concatenate(xs, 0),
+        level=jnp.concatenate(lvls, 0),
+        angle=jnp.concatenate(angs, 0),
+        response=jnp.concatenate(resps, 0),
+        desc=jnp.concatenate(descs, 0),
+        valid=jnp.concatenate(valids, 0),
+    )
