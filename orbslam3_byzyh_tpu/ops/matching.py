@@ -1,0 +1,156 @@
+"""Batched Hamming-distance descriptor matching.
+
+Replaces the reference ``ORBmatcher`` (/root/reference/src/ORBmatcher.cc):
+the sequential per-keypoint candidate loops become one masked dense distance
+matrix + argmin reductions; the rotation-consistency histogram
+(``ComputeThreeMaxima``, ORBmatcher.h:99) and greedy mutual exclusion become
+segmented reductions.
+
+Thresholds (Appendix A parity): TH_LOW=50, TH_HIGH=100, HISTO_LENGTH=30 with
+top-3 bins kept; ``DescriptorDistance`` (:2384) = 256-bit popcount.
+
+Descriptors are (N, 8) uint32. Distances are int32 in [0, 256]; the sentinel
+``INVALID_DIST`` (1024) marks masked-out pairs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+TH_LOW = 50
+TH_HIGH = 100
+HISTO_LENGTH = 30
+INVALID_DIST = 1024
+
+
+def hamming_matrix(da: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) x (M, 8) uint32 -> (N, M) int32 Hamming distances.
+
+    Word-by-word accumulation so XLA fuses per-word (N, M) popcounts instead
+    of materialising an (N, M, 8) cube.
+    """
+    n, m = da.shape[0], db.shape[0]
+    dist = jnp.zeros((n, m), jnp.int32)
+    for k in range(da.shape[1]):
+        x = da[:, None, k] ^ db[None, :, k]
+        dist = dist + jax.lax.population_count(x).astype(jnp.int32)
+    return dist
+
+
+def masked_hamming(da, db, valid_a, valid_b, pair_mask=None):
+    """Distance matrix with invalid rows/cols/pairs set to INVALID_DIST."""
+    dist = hamming_matrix(da, db)
+    ok = valid_a[:, None] & valid_b[None, :]
+    if pair_mask is not None:
+        ok = ok & pair_mask
+    return jnp.where(ok, dist, INVALID_DIST)
+
+
+def best_two(dist: jnp.ndarray):
+    """Per-row best and second-best distances + best index. dist: (N, M)."""
+    if dist.shape[1] < 2:
+        dist = jnp.pad(dist, ((0, 0), (0, 2 - dist.shape[1])),
+                       constant_values=INVALID_DIST)
+    vals, idx = jax.lax.top_k(-dist, 2)
+    return -vals[:, 0], -vals[:, 1], idx[:, 0]
+
+
+def ratio_test(best, second, ratio: float):
+    """Lowe-style nearest/second-nearest gate (mfNNratio, ORBmatcher.h:40)."""
+    return best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+
+
+def mutual_filter(dist: jnp.ndarray, best_j: jnp.ndarray, accept: jnp.ndarray):
+    """Resolve target conflicts: each column keeps only its best row.
+
+    Mirrors the reference's "already matched" bookkeeping (e.g.
+    SearchForInitialization's vnMatches21, ORBmatcher.cc:735): when two
+    queries pick the same target, the smaller distance wins.
+    """
+    n, m = dist.shape
+    best_d = jnp.where(accept, dist[jnp.arange(n), best_j], INVALID_DIST)
+    # Per-column minimum over the rows that chose that column.
+    col_min = jnp.full((m,), INVALID_DIST, jnp.int32).at[best_j].min(
+        best_d.astype(jnp.int32))
+    keep = accept & (best_d == col_min[best_j]) & (best_d < INVALID_DIST)
+    # Tie-break duplicates (equal distance, same column): keep lowest row index.
+    first_row = jnp.full((m,), n, jnp.int32).at[best_j].min(
+        jnp.where(keep, jnp.arange(n), n))
+    keep = keep & (first_row[best_j] == jnp.arange(n))
+    return keep
+
+
+def rotation_consistency(angle_a, angle_b, best_j, accept,
+                         n_bins: int = HISTO_LENGTH):
+    """Keep only matches whose angle difference falls in the top-3 histogram
+    bins (ComputeThreeMaxima parity, including the 0.1x count cutoffs)."""
+    rot = angle_a - angle_b[best_j]
+    rot = jnp.mod(rot, 2.0 * jnp.pi)
+    bin_idx = jnp.clip(
+        jnp.round(rot * (n_bins / (2.0 * jnp.pi))).astype(jnp.int32), 0, n_bins)
+    bin_idx = jnp.where(bin_idx == n_bins, 0, bin_idx)
+    hist = jnp.zeros(n_bins, jnp.int32).at[bin_idx].add(accept.astype(jnp.int32))
+    top_vals, top_bins = jax.lax.top_k(hist, 3)
+    # Reference drops bins 2/3 when below 10% of max1 (ORBmatcher.cc:2340-2360).
+    keep2 = top_vals[1] > 0.1 * top_vals[0]
+    keep3 = top_vals[2] > 0.1 * top_vals[0]
+    in_top = (bin_idx == top_bins[0]) \
+        | ((bin_idx == top_bins[1]) & keep2) \
+        | ((bin_idx == top_bins[2]) & keep3)
+    return accept & in_top
+
+
+def match(da, db, valid_a, valid_b, pair_mask=None, max_dist: int = TH_LOW,
+          ratio: float = 0.9, angles=None, mutual: bool = True):
+    """Generic one-shot matcher.
+
+    Returns (match_j: (N,) int32 index into b or -1, dist: (N,) int32).
+    ``angles`` is an optional (angle_a, angle_b) tuple enabling the rotation
+    histogram gate.
+    """
+    dist = masked_hamming(da, db, valid_a, valid_b, pair_mask)
+    best, second, best_j = best_two(dist)
+    accept = best <= max_dist
+    if ratio is not None:
+        accept = accept & ratio_test(best, second, ratio)
+    if angles is not None:
+        accept = rotation_consistency(angles[0], angles[1], best_j, accept)
+    if mutual:
+        accept = mutual_filter(dist, best_j, accept)
+    return jnp.where(accept, best_j, -1), jnp.where(accept, best, INVALID_DIST)
+
+
+# ---------------------------------------------------------------------------
+# Geometry-guided candidate masks
+# ---------------------------------------------------------------------------
+
+def window_mask(xy_a, xy_b, radius):
+    """Candidate pairs within a pixel window. radius: scalar or (N,)."""
+    d2 = jnp.sum((xy_a[:, None, :] - xy_b[None, :, :]) ** 2, -1)
+    r = jnp.asarray(radius)
+    r2 = (r * r) if r.ndim == 0 else (r * r)[:, None]
+    return d2 <= r2
+
+
+def level_mask(level_a, level_b, min_delta: int = 0, max_delta: int = 0):
+    """Pyramid-level compatibility: level_b within [la+min, la+max]."""
+    diff = level_b[None, :] - level_a[:, None]
+    return (diff >= min_delta) & (diff <= max_delta)
+
+
+def search_by_projection(proj_xy, pred_level, lm_desc, lm_valid,
+                         kp_xy, kp_level, kp_desc, kp_valid,
+                         radius, max_dist: int = TH_HIGH, ratio: float = 0.9,
+                         level_window: tuple = (-1, 1)):
+    """Project-and-match: landmarks (rows) against frame keypoints (cols).
+
+    Mirrors ORBmatcher::SearchByProjection (frame-vs-map, ORBmatcher.cc:46 and
+    frame-vs-last-frame :1951): per-landmark search radius scaled by predicted
+    level, candidate keypoints restricted to a level window.
+    Returns (match_j, dist) per landmark.
+    """
+    pm = window_mask(proj_xy, kp_xy, radius)
+    pm = pm & level_mask(pred_level, kp_level, *level_window)
+    return match(lm_desc, kp_desc, lm_valid, kp_valid, pair_mask=pm,
+                 max_dist=max_dist, ratio=ratio, mutual=True)
