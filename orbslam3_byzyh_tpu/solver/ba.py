@@ -1,0 +1,226 @@
+"""Bundle adjustment with Schur-complement landmark elimination.
+
+Replaces ``Optimizer::LocalBundleAdjustment`` (/root/reference/src/Optimizer.cc:1740)
+and ``BundleAdjustment`` (:2832) together with g2o's BlockSolver Schur
+machinery (/root/reference/Thirdparty/g2o/g2o/core/block_solver.h).
+
+TPU-first layout — landmark-major observations:
+  * ``obs_kf   (L, O) int32``  keyframe index per observation slot (-1 empty)
+  * ``obs_uv   (L, O, 2)``     measured pixels
+  * ``obs_w    (L, O)``        information (inv sigma^2 of the pyramid level)
+  * ``obs_valid (L, O) bool``
+
+Each landmark row is eliminated independently (3x3 inverse), its Schur
+contribution scattered into the dense reduced camera system S (K, K, 6, 6).
+K (window keyframes) is small (<= ~25 + fixed, Optimizer.cc:2210) for local BA
+and a few hundred for global BA, so S stays dense — ideal for the MXU — while
+the landmark axis L is embarrassingly parallel and is the axis sharded across
+devices for distributed BA (see parallel/).
+
+Robust kernel: Huber sqrt(5.991); outlier re-classification between stages
+mirrors the reference's optimize(5) -> filter -> optimize(10) flow
+(Optimizer.cc:1900-2000 region).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import camera as cam
+from ..ops import lie
+from . import lm
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mv(A, v):
+    return jnp.einsum("...ij,...j->...i", A, v, precision=_HI)
+
+
+class BAProblem(NamedTuple):
+    R: jnp.ndarray          # (K, 3, 3) Rcw per keyframe
+    t: jnp.ndarray          # (K, 3)
+    points: jnp.ndarray     # (L, 3) world landmarks
+    obs_kf: jnp.ndarray     # (L, O) int32, -1 = empty slot
+    obs_uv: jnp.ndarray     # (L, O, 2)
+    obs_w: jnp.ndarray      # (L, O) information weights
+    obs_valid: jnp.ndarray  # (L, O) bool
+    fixed: jnp.ndarray      # (K,) bool — poses held constant
+    lm_valid: jnp.ndarray   # (L,) bool
+    cam_params: jnp.ndarray  # camera intrinsics vector
+
+
+class BAResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    points: jnp.ndarray
+    obs_inlier: jnp.ndarray  # (L, O) post-gating mask
+    cost: jnp.ndarray
+
+
+def _residuals(p: BAProblem, R, t, points, model_id):
+    """Per-observation residuals and Jacobians in the (L, O) layout."""
+    kf = jnp.maximum(p.obs_kf, 0)
+    Rk = R[kf]             # (L, O, 3, 3)
+    tk = t[kf]             # (L, O, 3)
+    pw = points[:, None, :]                     # (L, 1, 3)
+    pc = jnp.einsum("loij,loj->loi", Rk, jnp.broadcast_to(pw, tk.shape),
+                    precision=_HI) + tk
+    uv = cam.project(model_id, p.cam_params, pc)
+    r = p.obs_uv - uv                            # (L, O, 2)
+    Jproj = cam.project_jac(model_id, p.cam_params, pc)   # (L, O, 2, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (*pc.shape[:-1], 3, 3))
+    dpc_dpose = jnp.concatenate([eye, -lie.skew(pc)], axis=-1)   # (L, O, 3, 6)
+    Jp = -jnp.einsum("loij,lojk->loik", Jproj, dpc_dpose, precision=_HI)
+    Jl = -jnp.einsum("loij,lojk->loik", Jproj, Rk, precision=_HI)  # (L, O, 2, 3)
+    depth_ok = pc[..., 2] > 0.05
+    return r, Jp, Jl, depth_ok
+
+
+def _build_system(p: BAProblem, R, t, points, inlier, model_id, robust,
+                  delta2: float):
+    r, Jp, Jl, depth_ok = _residuals(p, R, t, points, model_id)
+    chi2 = jnp.sum(r * r, -1) * p.obs_w
+    mask = (p.obs_valid & inlier & depth_ok & (p.obs_kf >= 0)
+            & p.lm_valid[:, None])
+    w_rob = lm.huber_weight(chi2, delta2) if robust else jnp.ones_like(chi2)
+    w = w_rob * p.obs_w * mask
+
+    rho = jnp.where(chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * chi2) - delta2) \
+        if robust else chi2
+    cost = jnp.sum(rho * mask)
+
+    Jpw = Jp * w[..., None, None]
+    # Block pieces. NOTE: bl/bp carry the Gauss-Newton sign already
+    # (H dx = b with b = -J^T W r), so downstream solves use them directly.
+    Hll = jnp.einsum("lori,lorj->lij", Jl * w[..., None, None], Jl,
+                     precision=_HI)                                  # (L, 3, 3)
+    bl = -jnp.einsum("lori,lor->li", Jl * w[..., None, None], r,
+                     precision=_HI)                                  # (L, 3)
+    Wlo = jnp.einsum("lori,lorj->loij", Jpw, Jl, precision=_HI)      # (L, O, 6, 3)
+    Hpp_o = jnp.einsum("lori,lorj->loij", Jpw, Jp, precision=_HI)    # (L, O, 6, 6)
+    bp_o = -jnp.einsum("lori,lor->loi", Jpw, r, precision=_HI)       # (L, O, 6)
+    return dict(Hll=Hll, bl=bl, W=Wlo, Hpp_o=Hpp_o, bp_o=bp_o,
+                cost=cost, chi2=chi2, mask=mask)
+
+
+def _schur_reduce(p: BAProblem, sys, lam, n_kf: int):
+    """Form the reduced camera system S (6K, 6K) and rhs (6K,)."""
+    kf = jnp.maximum(p.obs_kf, 0)              # (L, O)
+    L, O = kf.shape
+
+    # Damped landmark blocks and their inverses.
+    Hll = sys["Hll"]
+    diag_l = jnp.diagonal(Hll, axis1=-2, axis2=-1)
+    Hll_d = Hll + jax.vmap(jnp.diag)(lam * jnp.maximum(diag_l, 1e-9))
+    # Guard empty landmarks (singular 3x3): add identity where no signal.
+    has_obs = diag_l.sum(-1) > 1e-12
+    Hll_d = jnp.where(has_obs[:, None, None], Hll_d,
+                      jnp.broadcast_to(jnp.eye(3, dtype=Hll.dtype), Hll_d.shape))
+    Hll_inv = jnp.linalg.inv(Hll_d)            # (L, 3, 3)
+
+    # Pose diagonal blocks and rhs (scatter over kf index).
+    Hpp = jnp.zeros((n_kf, 6, 6), Hll.dtype).at[kf.reshape(-1)].add(
+        sys["Hpp_o"].reshape(L * O, 6, 6))
+    bp = jnp.zeros((n_kf, 6), Hll.dtype).at[kf.reshape(-1)].add(
+        sys["bp_o"].reshape(L * O, 6))
+
+    # Schur: S[k1,k2] -= W[l,o1] Hll_inv[l] W[l,o2]^T for all slot pairs.
+    W = sys["W"]                                # (L, O, 6, 3)
+    WHinv = jnp.einsum("loij,ljk->loik", W, Hll_inv, precision=_HI)  # (L,O,6,3)
+    cross = jnp.einsum("laij,lbkj->labik", WHinv, W, precision=_HI)  # (L,O,O,6,6)
+    pair_idx = (kf[:, :, None] * n_kf + kf[:, None, :]).reshape(-1)  # (L*O*O,)
+    S_flat = jnp.zeros((n_kf * n_kf, 6, 6), Hll.dtype).at[pair_idx].add(
+        cross.reshape(-1, 6, 6))
+    S = S_flat.reshape(n_kf, n_kf, 6, 6)
+    S = -S
+    S = S.at[jnp.arange(n_kf), jnp.arange(n_kf)].add(Hpp)
+
+    # rhs: bp - W Hll_inv bl
+    corr = jnp.einsum("loik,lk->loi", WHinv, sys["bl"], precision=_HI)
+    rhs = bp - jnp.zeros((n_kf, 6), Hll.dtype).at[kf.reshape(-1)].add(
+        corr.reshape(L * O, 6))
+
+    # LM damping on the pose blocks.
+    diag_p = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    S = S.at[jnp.arange(n_kf), jnp.arange(n_kf)].add(
+        jax.vmap(jnp.diag)(lam * jnp.maximum(diag_p, 1e-9)))
+
+    # Fix poses: identity rows/cols, zero rhs.
+    free = (~p.fixed).astype(Hll.dtype)
+    S = S * free[:, None, None, None] * free[None, :, None, None]
+    S = S.at[jnp.arange(n_kf), jnp.arange(n_kf)].add(
+        jnp.eye(6, dtype=Hll.dtype)[None] * p.fixed[:, None, None])
+    rhs = rhs * free[:, None]
+
+    Sd = S.transpose(0, 2, 1, 3).reshape(n_kf * 6, n_kf * 6)
+    dp = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(n_kf, 6)
+
+    # Back-substitute landmarks: dl = Hll_inv (bl - sum_o W^T dp[kf]).
+    dp_per_obs = dp[kf]                          # (L, O, 6)
+    Wt_dp = jnp.einsum("loij,loi->lj", W, dp_per_obs, precision=_HI)
+    dl = jnp.einsum("lij,lj->li", Hll_inv, sys["bl"] - Wt_dp, precision=_HI)
+    dl = jnp.where(has_obs[:, None], dl, 0.0)
+    return dp, dl
+
+
+def _retract(R, t, points, dp, dl, fixed):
+    dR, dt = lie.se3_exp(dp)                    # (K, 3, 3), (K, 3)
+    Rn = lie.normalize_rotation(jnp.matmul(dR, R, precision=_HI))
+    tn = _mv(dR, t) + dt
+    keep = fixed[:, None]
+    Rn = jnp.where(keep[..., None], R, Rn)
+    tn = jnp.where(keep, t, tn)
+    return Rn, tn, points + dl
+
+
+@functools.partial(jax.jit, static_argnames=("model_id", "stages"))
+def bundle_adjust(p: BAProblem, model_id: int = cam.PINHOLE,
+                  stages: tuple = (5, 10)) -> BAResult:
+    """Schur-complement LM bundle adjustment.
+
+    ``stages``: iteration counts; outliers (chi2 > 5.991 or negative depth)
+    are re-classified between stages, mirroring Optimizer.cc:1900-2000.
+    """
+    delta2 = lm.CHI2_MONO
+    n_kf = p.R.shape[0]
+
+    inlier = jnp.ones_like(p.obs_valid)
+    R, t, points = p.R, p.t, p.points
+
+    for si, n_iters in enumerate(stages):
+        robust = si < len(stages) - 1
+
+        def build(state, inl=inlier, rob=robust):
+            R_, t_, pts_ = state
+            return _build_system(p, R_, t_, pts_, inl, model_id, rob, delta2)
+
+        sys0 = build((R, t, points))
+        cost = sys0["cost"]
+        lam = jnp.asarray(1e-4, jnp.float32)
+
+        state = (R, t, points)
+        for _ in range(n_iters):
+            sys_ = build(state)
+            dp, dl = _schur_reduce(p, sys_, lam, n_kf)
+            cand = _retract(state[0], state[1], state[2], dp, dl, p.fixed)
+            cost_new = build(cand)["cost"]
+            accept = cost_new < cost
+            state = jax.tree.map(
+                lambda a, b: jnp.where(accept, b, a), state, cand)
+            lam = jnp.where(accept, lam * 0.5, lam * 10.0)
+            cost = jnp.where(accept, cost_new, cost)
+        R, t, points = state
+
+        # Outlier re-classification.
+        r, _, _, depth_ok = _residuals(p, R, t, points, model_id)
+        chi2 = jnp.sum(r * r, -1) * p.obs_w
+        inlier = (chi2 <= delta2) & depth_ok
+
+    final = _build_system(p, R, t, points, inlier, model_id, False, delta2)
+    return BAResult(R=R, t=t, points=points,
+                    obs_inlier=inlier & final["mask"], cost=final["cost"])
