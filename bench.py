@@ -1,0 +1,45 @@
+"""Benchmark: tracking frames/s per chip on the flagship per-frame step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: EuRoC sensor rate = 20 fps (the reference's real-time claim on an
+i7-class CPU, /root/reference/README.md:61 + mono_euroc.cc:80). Target from
+BASELINE.md: >= 2x real-time per chip (vs_baseline >= 2.0).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+
+    from orbslam3_byzyh_tpu import graft
+
+    fn = jax.jit(graft.tracking_step)
+    args = graft.example_tracking_args()
+
+    # Warmup / compile.
+    out = fn(*args)
+    jax.block_until_ready(out)
+
+    n_iters = 50
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(json.dumps({
+        "metric": "tracking_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 20.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

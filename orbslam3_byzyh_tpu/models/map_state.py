@@ -1,0 +1,187 @@
+"""Functional map state: fixed-capacity pytrees-of-arrays.
+
+Replaces the reference's pointer-graph map data model —
+``Map``/``KeyFrame``/``MapPoint`` (/root/reference/src/{Map.cc,KeyFrame.cc,
+MapPoint.cc}) and their mutex webs — with immutable arrays + liveness masks:
+
+  * ``KeyFrames``: poses (Rcw, tcw), timestamps, per-KF keypoint slabs
+    (the Frame contract: xy/level/angle/desc/valid), liveness mask.
+  * ``Landmarks``: positions, representative descriptor, view normal +
+    scale-invariance range (MapPoint.h:…), found/visible counters, liveness.
+  * ``Observations``: landmark-major (L, O) slots holding (kf index,
+    keypoint index) — the COO covisibility structure every solver consumes
+    directly (see solver/ba.py layout).
+
+"Deletion" is mask-clearing (replaces ``SetBadFlag`` bookkeeping). Indices
+are stable, so serialization needs no pointer fixups (SURVEY §5 checkpoint
+notes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class KeyFrames(NamedTuple):
+    R: jnp.ndarray           # (K, 3, 3) world->cam
+    t: jnp.ndarray           # (K, 3)
+    stamp: jnp.ndarray       # (K,)
+    kp_xy: jnp.ndarray       # (K, N, 2) undistorted level-0 pixels
+    kp_level: jnp.ndarray    # (K, N) int32
+    kp_angle: jnp.ndarray    # (K, N)
+    kp_desc: jnp.ndarray     # (K, N, 8) uint32
+    kp_valid: jnp.ndarray    # (K, N) bool
+    valid: jnp.ndarray       # (K,) liveness
+
+
+class Landmarks(NamedTuple):
+    pos: jnp.ndarray         # (L, 3)
+    desc: jnp.ndarray        # (L, 8) uint32 representative descriptor
+    normal: jnp.ndarray      # (L, 3) mean viewing direction
+    min_dist: jnp.ndarray    # (L,) scale-invariance range lower bound
+    max_dist: jnp.ndarray    # (L,)
+    n_obs: jnp.ndarray       # (L,) int32
+    n_found: jnp.ndarray     # (L,) tracking found counter (MapPoint found ratio)
+    n_visible: jnp.ndarray   # (L,)
+    first_kf: jnp.ndarray    # (L,) int32 creating keyframe
+    valid: jnp.ndarray       # (L,) liveness
+
+
+class Observations(NamedTuple):
+    kf: jnp.ndarray          # (L, O) int32 keyframe index, -1 empty
+    kp: jnp.ndarray          # (L, O) int32 keypoint index within that KF
+    valid: jnp.ndarray       # (L, O) bool
+
+
+class MapState(NamedTuple):
+    kfs: KeyFrames
+    lms: Landmarks
+    obs: Observations
+
+
+def empty_map(max_kf: int, max_lm: int, max_obs: int, n_feat: int) -> MapState:
+    f32, i32 = jnp.float32, jnp.int32
+    kfs = KeyFrames(
+        R=jnp.tile(jnp.eye(3, dtype=f32), (max_kf, 1, 1)),
+        t=jnp.zeros((max_kf, 3), f32),
+        stamp=jnp.zeros((max_kf,), f32),
+        kp_xy=jnp.zeros((max_kf, n_feat, 2), f32),
+        kp_level=jnp.zeros((max_kf, n_feat), i32),
+        kp_angle=jnp.zeros((max_kf, n_feat), f32),
+        kp_desc=jnp.zeros((max_kf, n_feat, 8), jnp.uint32),
+        kp_valid=jnp.zeros((max_kf, n_feat), bool),
+        valid=jnp.zeros((max_kf,), bool),
+    )
+    lms = Landmarks(
+        pos=jnp.zeros((max_lm, 3), f32),
+        desc=jnp.zeros((max_lm, 8), jnp.uint32),
+        normal=jnp.zeros((max_lm, 3), f32),
+        min_dist=jnp.zeros((max_lm,), f32),
+        max_dist=jnp.full((max_lm,), 1e9, f32),
+        n_obs=jnp.zeros((max_lm,), i32),
+        n_found=jnp.zeros((max_lm,), i32),
+        n_visible=jnp.zeros((max_lm,), i32),
+        first_kf=jnp.zeros((max_lm,), i32),
+        valid=jnp.zeros((max_lm,), bool),
+    )
+    obs = Observations(
+        kf=jnp.full((max_lm, max_obs), -1, i32),
+        kp=jnp.full((max_lm, max_obs), -1, i32),
+        valid=jnp.zeros((max_lm, max_obs), bool),
+    )
+    return MapState(kfs=kfs, lms=lms, obs=obs)
+
+
+def add_keyframe(state: MapState, slot: int, R, t, stamp, feats) -> MapState:
+    """Write a keyframe into `slot` (host passes the cursor)."""
+    kfs = state.kfs
+    kfs = kfs._replace(
+        R=kfs.R.at[slot].set(R),
+        t=kfs.t.at[slot].set(t),
+        stamp=kfs.stamp.at[slot].set(stamp),
+        kp_xy=kfs.kp_xy.at[slot].set(feats.xy),
+        kp_level=kfs.kp_level.at[slot].set(feats.level),
+        kp_angle=kfs.kp_angle.at[slot].set(feats.angle),
+        kp_desc=kfs.kp_desc.at[slot].set(feats.desc),
+        kp_valid=kfs.kp_valid.at[slot].set(feats.valid),
+        valid=kfs.valid.at[slot].set(True),
+    )
+    return state._replace(kfs=kfs)
+
+
+def add_landmarks(state: MapState, slots, pos, desc, kf_a, kp_a, kf_b, kp_b,
+                  mask, normal, min_dist, max_dist) -> MapState:
+    """Batch-create landmarks at `slots` with two initial observations each.
+
+    slots: (M,) int32 target rows; mask: (M,) which rows are real.
+    kf_a/kf_b: scalars or (M,) keyframe ids; kp_a/kp_b: (M,) keypoint indices.
+    """
+    lms, obs = state.lms, state.obs
+    safe = jnp.where(mask, slots, state.lms.pos.shape[0])  # OOB drops writes
+    kf_a = jnp.broadcast_to(jnp.asarray(kf_a), kp_a.shape)
+    kf_b = jnp.broadcast_to(jnp.asarray(kf_b), kp_b.shape)
+    lms = lms._replace(
+        pos=lms.pos.at[safe].set(pos),
+        desc=lms.desc.at[safe].set(desc),
+        normal=lms.normal.at[safe].set(normal),
+        min_dist=lms.min_dist.at[safe].set(min_dist),
+        max_dist=lms.max_dist.at[safe].set(max_dist),
+        n_obs=lms.n_obs.at[safe].set(2),
+        n_found=lms.n_found.at[safe].set(1),
+        n_visible=lms.n_visible.at[safe].set(1),
+        first_kf=lms.first_kf.at[safe].set(kf_a),
+        valid=lms.valid.at[safe].set(True),
+    )
+    obs = obs._replace(
+        kf=obs.kf.at[safe, 0].set(kf_a).at[safe, 1].set(kf_b),
+        kp=obs.kp.at[safe, 0].set(kp_a).at[safe, 1].set(kp_b),
+        valid=obs.valid.at[safe, 0].set(True).at[safe, 1].set(True),
+    )
+    return state._replace(lms=lms, obs=obs)
+
+
+def add_observations(state: MapState, lm_idx, kf_id, kp_idx, mask) -> MapState:
+    """Append (kf, kp) observations to landmarks at their first free slot."""
+    obs = state.obs
+    free = ~obs.valid[lm_idx]                       # (M, O)
+    # First free slot per row (argmax over bool finds first True).
+    slot = jnp.argmax(free, axis=-1)
+    has_free = free[jnp.arange(lm_idx.shape[0]), slot]
+    ok = mask & has_free
+    safe_lm = jnp.where(ok, lm_idx, state.lms.pos.shape[0])
+    kf_id = jnp.broadcast_to(jnp.asarray(kf_id), kp_idx.shape)
+    obs = obs._replace(
+        kf=obs.kf.at[safe_lm, slot].set(kf_id),
+        kp=obs.kp.at[safe_lm, slot].set(kp_idx),
+        valid=obs.valid.at[safe_lm, slot].set(True),
+    )
+    lms = state.lms._replace(
+        n_obs=state.lms.n_obs.at[safe_lm].add(1))
+    return state._replace(obs=obs, lms=lms)
+
+
+def covisibility_counts(state: MapState, kf_id: int, max_kf: int) -> jnp.ndarray:
+    """Number of landmarks shared between kf_id and every other KF.
+
+    Replaces ``KeyFrame::UpdateConnections`` + covisibility-weight queries
+    (KeyFrame.h:221-247) with one segmented reduction over the obs table.
+    """
+    sees_q = (state.obs.kf == kf_id) & state.obs.valid          # (L, O)
+    lm_in_q = sees_q.any(-1) & state.lms.valid                  # (L,)
+    contrib = lm_in_q[:, None] & state.obs.valid & (state.obs.kf != kf_id)
+    flat_kf = jnp.where(contrib, state.obs.kf, max_kf)
+    counts = jnp.zeros((max_kf + 1,), jnp.int32).at[flat_kf.reshape(-1)].add(1)
+    return counts[:max_kf]
+
+
+def landmarks_seen_by(state: MapState, kf_id: int):
+    """(L,) bool mask + (L,) keypoint index of landmarks observed by kf_id."""
+    hit = (state.obs.kf == kf_id) & state.obs.valid
+    seen = hit.any(-1) & state.lms.valid
+    slot = jnp.argmax(hit, axis=-1)
+    kp = jnp.where(seen, state.obs.kp[jnp.arange(hit.shape[0]), slot], -1)
+    return seen, kp

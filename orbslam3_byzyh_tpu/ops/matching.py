@@ -139,6 +139,54 @@ def level_mask(level_a, level_b, min_delta: int = 0, max_delta: int = 0):
     return (diff >= min_delta) & (diff <= max_delta)
 
 
+def epipolar_mask(F12, xy1, xy2, level2, sigma_levels2):
+    """Pairs (i, j) consistent with the fundamental F12 (x2^T F12 x1 = 0).
+
+    Mirrors the epipolar gate inside SearchForTriangulation
+    (ORBmatcher.cc:1046 + CheckDistEpipolarLine): squared point-line distance
+    in image 2 below 3.84 * sigma2(level of kp2).
+    """
+    ones1 = jnp.ones_like(xy1[:, :1])
+    l2 = jnp.concatenate([xy1, ones1], -1) @ F12.T      # (N1, 3) lines in im2
+    num = (l2[:, None, 0] * xy2[None, :, 0] + l2[:, None, 1] * xy2[None, :, 1]
+           + l2[:, None, 2]) ** 2
+    den = jnp.maximum(l2[:, 0] ** 2 + l2[:, 1] ** 2, 1e-12)[:, None]
+    d2 = num / den
+    th = 3.84 * sigma_levels2[level2][None, :]
+    return d2 < th
+
+
+def predict_scale_level(dist, max_dist, scale: float = 1.2, n_levels: int = 8):
+    """Pyramid level a landmark would appear at, from its distance
+    (MapPoint::PredictScale behaviour)."""
+    ratio = jnp.maximum(max_dist / jnp.maximum(dist, 1e-6), 1e-6)
+    lvl = jnp.ceil(jnp.log(ratio) / jnp.log(scale)).astype(jnp.int32)
+    return jnp.clip(lvl, 0, n_levels - 1)
+
+
+def frustum_cull(R, t, pos, normal, min_dist, max_dist, cam_params,
+                 img_w: float, img_h: float, view_cos_limit: float = 0.5):
+    """Frame::isInFrustum (/root/reference/src/Frame.cc:667) batched.
+
+    Returns (visible mask, projected uv, distance, predicted level).
+    """
+    pc = jnp.einsum("ij,nj->ni", R, pos) + t
+    z = pc[:, 2]
+    fx, fy, cx, cy = cam_params[0], cam_params[1], cam_params[2], cam_params[3]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = fx * pc[:, 0] * inv_z + cx
+    v = fy * pc[:, 1] * inv_z + cy
+    cam_center = -jnp.einsum("ji,j->i", R, t)
+    po = pos - cam_center
+    dist = jnp.linalg.norm(po, axis=-1)
+    view_cos = jnp.sum(po * normal, -1) / jnp.maximum(dist, 1e-9)
+    ok = ((z > 0.01) & (u >= 0) & (u < img_w) & (v >= 0) & (v < img_h)
+          & (dist >= 0.8 * min_dist) & (dist <= 1.2 * max_dist)
+          & (view_cos > view_cos_limit))
+    level = predict_scale_level(dist, max_dist)
+    return ok, jnp.stack([u, v], -1), dist, level
+
+
 def search_by_projection(proj_xy, pred_level, lm_desc, lm_valid,
                          kp_xy, kp_level, kp_desc, kp_valid,
                          radius, max_dist: int = TH_HIGH, ratio: float = 0.9,

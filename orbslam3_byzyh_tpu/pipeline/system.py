@@ -1,0 +1,371 @@
+"""SLAM system facade: host orchestration of the jitted pipeline stages.
+
+Replaces ``System`` (/root/reference/src/System.cc) + the thread/state-machine
+core of ``Tracking`` (/root/reference/src/Tracking.cc:2692 Track): the three
+reference threads (Tracking/LocalMapping/LoopClosing, System.cc:223-265)
+become sequential (later: async-dispatch) stages over a functional MapState —
+no locks, ownership passes along the pipeline.
+
+Monocular visual path (BASELINE config 1). State machine:
+NOT_INITIALIZED -> OK -> (RECENTLY_LOST -> reloc | new map).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import map_state as ms
+from ..ops import camera as cam
+from ..ops import fast_orb, geometry, lie
+from . import mapping, tracking
+
+NOT_INITIALIZED = 0
+OK = 1
+RECENTLY_LOST = 2
+LOST = 3
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    width: int
+    height: int
+    dist: Optional[np.ndarray] = None      # [k1,k2,p1,p2,(k3)] or None
+    n_features: int = 1024
+    max_kf: int = 256
+    max_lm: int = 16384
+    max_obs: int = 12
+    fps: float = 20.0
+    min_frames: int = 0                    # KF policy (Tracking.cc:4388)
+    max_frames: Optional[int] = None       # defaults to fps
+    local_window: int = 8                  # free KFs in local BA
+    min_init_matches: int = 100            # two-view init gate (Tracking.cc:3620)
+    triangulation_neighbors: int = 3
+
+    def cam_params(self):
+        return np.array([self.fx, self.fy, self.cx, self.cy], np.float32)
+
+
+class MonoSlam:
+    """Monocular SLAM engine (System::TrackMonocular equivalent)."""
+
+    def __init__(self, config: SlamConfig):
+        self.cfg = config
+        self.cam_params = jnp.asarray(config.cam_params())
+        self.dist = (jnp.asarray(config.dist.astype(np.float32))
+                     if config.dist is not None else None)
+        self.state = ms.empty_map(config.max_kf, config.max_lm,
+                                  config.max_obs, config.n_features)
+        self.status = NOT_INITIALIZED
+        self.n_kf = 0
+        self.n_lm = 0
+        self.max_frames = config.max_frames or int(config.fps)
+
+        # Reference frame for initialization.
+        self._init_feats = None
+        self._init_stamp = None
+        # Last-frame tracking context.
+        self._last = None           # dict(feats, bindings, R, t, stamp)
+        self._vel = None            # (R_v, t_v): T_cur = vel * T_last
+        self.frames_since_kf = 0
+        self.last_kf_id = -1
+        # Trajectory log: (stamp, Rcw, tcw) per tracked frame.
+        self.trajectory = []
+        self.rng_key = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------------
+    def _extract(self, img: np.ndarray) -> fast_orb.FrameFeatures:
+        feats = fast_orb.extract(jnp.asarray(img, jnp.float32),
+                                 n_features=self.cfg.n_features)
+        if self.dist is not None:
+            und = cam.undistort_pixels(self.cam_params, self.dist, feats.xy)
+            feats = feats._replace(xy=und)
+        return feats
+
+    # ------------------------------------------------------------------
+    def track(self, img: np.ndarray, stamp: float):
+        """Process one frame; returns Tcw (R, t) or None while initializing."""
+        feats = self._extract(img)
+
+        if self.status == NOT_INITIALIZED:
+            pose = self._try_initialize(feats, stamp)
+        else:
+            pose = self._track_frame(feats, stamp)
+
+        if pose is not None:
+            self.trajectory.append((stamp, np.asarray(pose[0]),
+                                    np.asarray(pose[1])))
+        return pose
+
+    # ------------------------------------------------------------------
+    # Initialization (MonocularInitialization :3578 + CreateInitialMap :3680)
+    # ------------------------------------------------------------------
+    def _try_initialize(self, feats, stamp):
+        n_valid = int(np.asarray(feats.valid).sum())
+        if self._init_feats is None:
+            if n_valid >= 100:
+                self._init_feats, self._init_stamp = feats, stamp
+            return None
+
+        ref = self._init_feats
+        mj = tracking.match_for_initialization(
+            ref.xy, ref.desc, ref.valid, ref.level,
+            feats.xy, feats.desc, feats.valid, feats.level)
+        mj_np = np.asarray(mj)
+        n_matches = int((mj_np >= 0).sum())
+        if n_matches < self.cfg.min_init_matches:
+            # Too few: make the newer frame the reference (reference resets
+            # when matches are scarce, Tracking.cc:3620).
+            if n_valid >= 100:
+                self._init_feats, self._init_stamp = feats, stamp
+            return None
+
+        K = jnp.array([[self.cfg.fx, 0, self.cfg.cx],
+                       [0, self.cfg.fy, self.cfg.cy],
+                       [0, 0, 1.0]], jnp.float32)
+        matched = mj >= 0
+        x1 = ref.xy
+        x2 = feats.xy[jnp.maximum(mj, 0)]
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        res = geometry.two_view_reconstruct(sub, x1, x2, K, matched)
+        if not bool(res.success):
+            return None
+
+        # --- Create the initial map (CreateInitialMapMonocular :3680). ---
+        good = np.asarray(res.good)
+        X = np.asarray(res.points)
+        depths = X[good][:, 2]
+        if good.sum() < 50:
+            return None
+        med_depth = float(np.median(depths))
+        if med_depth <= 0:
+            return None
+        inv_md = 1.0 / med_depth
+        X_scaled = jnp.asarray(X * inv_md)
+        R1 = res.R
+        t1 = res.t * inv_md
+
+        # KF0 = reference frame at identity; KF1 = current frame.
+        self.state = ms.add_keyframe(self.state, 0, jnp.eye(3),
+                                     jnp.zeros(3), self._init_stamp, ref)
+        self.state = ms.add_keyframe(self.state, 1, R1, t1, stamp, feats)
+        self.n_kf = 2
+
+        good_j = jnp.asarray(good)
+        n_new = int(good.sum())
+        slots = jnp.cumsum(good_j.astype(jnp.int32)) - 1
+        ca = jnp.zeros(3)
+        cb = -jnp.einsum("ji,j->i", R1, t1)
+        ray_a = X_scaled - ca
+        da = jnp.linalg.norm(ray_a, axis=-1)
+        normal = ray_a / jnp.maximum(da, 1e-9)[:, None]
+        level_a = ref.level.astype(jnp.float32)
+        max_dist = da * (1.2 ** level_a)
+        min_dist = max_dist / 1.2 ** 7
+        self.state = ms.add_landmarks(
+            self.state, slots, X_scaled, ref.desc,
+            0, jnp.arange(ref.xy.shape[0], dtype=jnp.int32),
+            1, jnp.maximum(mj, 0).astype(jnp.int32),
+            good_j, normal, min_dist, max_dist)
+        self.n_lm = n_new
+
+        # Global BA on the 2-KF map (reference: 20 iters).
+        free = jnp.zeros(self.cfg.max_kf, bool).at[1].set(True)
+        self.state = mapping.local_ba(self.state, free, self.cam_params)
+
+        # Tracking context: bindings of the current frame.
+        lm_ids = jnp.where(good_j, slots, -1)            # per ref-kp landmark id
+        bindings = jnp.full((self.cfg.n_features,), -1, jnp.int32)
+        tgt = jnp.where(good_j & (mj >= 0), jnp.maximum(mj, 0),
+                        self.cfg.n_features)
+        bindings = bindings.at[tgt].set(lm_ids, mode="drop")
+
+        R_cur = self.state.kfs.R[1]
+        t_cur = self.state.kfs.t[1]
+        self._last = dict(feats=feats, bindings=bindings, R=R_cur, t=t_cur,
+                          stamp=stamp)
+        self._vel = None
+        self.status = OK
+        self.last_kf_id = 1
+        self.frames_since_kf = 0
+        # Log KF0's pose retroactively.
+        self.trajectory.append((self._init_stamp, np.eye(3, dtype=np.float32),
+                                np.zeros(3, np.float32)))
+        return (R_cur, t_cur)
+
+    # ------------------------------------------------------------------
+    # Per-frame tracking (Track :2692 OK-state path)
+    # ------------------------------------------------------------------
+    def _track_frame(self, feats, stamp):
+        last = self._last
+        if self._vel is not None:
+            Rv, tv = self._vel
+            R_pred = Rv @ last["R"]
+            t_pred = jnp.einsum("ij,j->i", Rv, last["t"]) + tv
+        else:
+            R_pred, t_pred = last["R"], last["t"]
+
+        lms = self.state.lms
+        res = tracking.track_motion_model(
+            R_pred, t_pred, lms.pos, lms.valid,
+            last["bindings"], last["feats"].desc,
+            feats.xy, feats.level, feats.desc, feats.valid,
+            self.cam_params)
+        if int(res.n_inliers) < 10:
+            # Widen search (th=15 -> 30), restart from last pose.
+            res = tracking.track_motion_model(
+                last["R"], last["t"], lms.pos, lms.valid,
+                last["bindings"], last["feats"].desc,
+                feats.xy, feats.level, feats.desc, feats.valid,
+                self.cam_params, radius=30.0)
+
+        res = tracking.track_local_map(
+            res.R, res.t, res.bindings,
+            lms.pos, lms.desc, lms.normal, lms.min_dist, lms.max_dist,
+            lms.valid,
+            feats.xy, feats.level, feats.desc, feats.valid,
+            self.cam_params, self.cfg.width, self.cfg.height)
+
+        n_inliers = int(res.n_inliers)
+        if n_inliers < 15:
+            self.status = RECENTLY_LOST
+            # Keep last context; dead-reckon with the motion model.
+            return (res.R, res.t)
+        self.status = OK
+
+        # Found/visible counters for culling.
+        bound = np.asarray(res.bindings)
+        seen = bound[bound >= 0]
+        lms_found = jnp.zeros((self.cfg.max_lm,), jnp.int32).at[
+            jnp.asarray(seen)].add(1)
+        self.state = self.state._replace(lms=self.state.lms._replace(
+            n_found=self.state.lms.n_found + lms_found,
+            n_visible=self.state.lms.n_visible + lms_found))
+
+        # Motion model update.
+        R_lw, t_lw = last["R"], last["t"]
+        Ri, ti = lie.se3_inv(R_lw, t_lw)
+        self._vel = lie.se3_mul(res.R, res.t, Ri, ti)
+        self._last = dict(feats=feats, bindings=res.bindings, R=res.R,
+                          t=res.t, stamp=stamp)
+        self.frames_since_kf += 1
+
+        if self._need_new_keyframe(n_inliers):
+            self._create_keyframe(feats, res, stamp)
+        return (res.R, res.t)
+
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, n_inliers: int) -> bool:
+        """NeedNewKeyFrame (:4388), monocular subset of the rules."""
+        if self.n_kf >= self.cfg.max_kf - 1:
+            return False
+        ref_matches = self._ref_kf_matches()
+        c1a = self.frames_since_kf >= self.max_frames
+        c1b = self.frames_since_kf >= self.cfg.min_frames
+        c2 = (n_inliers < ref_matches * 0.9) and n_inliers > 15
+        return (c1a or (c1b and c2)) and c2
+
+    def _ref_kf_matches(self) -> int:
+        """Observation count of the last keyframe (stand-in for the
+        reference-KF tracked-points count)."""
+        obs = self.state.obs
+        n = int(((obs.kf == self.last_kf_id) & obs.valid).sum())
+        return max(n, 1)
+
+    # ------------------------------------------------------------------
+    def _create_keyframe(self, feats, track_res, stamp):
+        """CreateNewKeyFrame (:4589) + the LocalMapping work for this KF."""
+        kf_id = self.n_kf
+        self.state = ms.add_keyframe(self.state, kf_id, track_res.R,
+                                     track_res.t, stamp, feats)
+        self.n_kf += 1
+        self.frames_since_kf = 0
+
+        # Bind tracked landmarks as observations of the new KF.
+        bindings = track_res.bindings
+        kp_idx = jnp.arange(self.cfg.n_features, dtype=jnp.int32)
+        has = bindings >= 0
+        self.state = ms.add_observations(
+            self.state, jnp.maximum(bindings, 0), kf_id, kp_idx, has)
+
+        # Triangulate new landmarks against covisible neighbors.
+        counts = np.asarray(ms.covisibility_counts(
+            self.state, kf_id, self.cfg.max_kf))
+        counts[kf_id] = 0
+        order = np.argsort(-counts)
+        neighbors = [int(k) for k in order[:self.cfg.triangulation_neighbors]
+                     if counts[k] >= 15 and bool(self.state.kfs.valid[k])]
+        free_kp = feats.valid & (bindings < 0)
+        for nb in neighbors:
+            self._triangulate_with(kf_id, nb, feats, free_kp)
+            # Refresh free mask: newly created landmarks bind kps.
+            seen, kp_of = ms.landmarks_seen_by(self.state, kf_id)
+            bound_now = jnp.zeros((self.cfg.n_features,), bool).at[
+                jnp.where(seen, kp_of, self.cfg.n_features)].set(
+                    True, mode="drop")
+            free_kp = feats.valid & ~bound_now
+
+        # Local BA: free = this KF + its best covisible neighbors.
+        free = np.zeros(self.cfg.max_kf, bool)
+        free[kf_id] = True
+        for k in order[: self.cfg.local_window]:
+            if counts[k] > 0:
+                free[int(k)] = True
+        free[0] = False  # gauge anchor
+        self.state = mapping.local_ba(self.state, jnp.asarray(free),
+                                      self.cam_params)
+        self.state = mapping.cull_landmarks(
+            self.state, jnp.asarray(kf_id, jnp.int32))
+        self.last_kf_id = kf_id
+
+        # Rebind current-frame bindings to post-BA state (pose refreshed).
+        self._last["R"] = self.state.kfs.R[kf_id]
+        self._last["t"] = self.state.kfs.t[kf_id]
+
+    def _triangulate_with(self, kf_a: int, kf_b: int, feats, free_kp):
+        kfs = self.state.kfs
+        res = mapping.triangulate_pair(
+            kfs.R[kf_a], kfs.t[kf_a], feats.xy, feats.level, feats.desc,
+            free_kp,
+            kfs.R[kf_b], kfs.t[kf_b], kfs.kp_xy[kf_b], kfs.kp_level[kf_b],
+            kfs.kp_desc[kf_b], kfs.kp_valid[kf_b],
+            self.cam_params)
+        good = np.asarray(res.good)
+        n_new = int(good.sum())
+        if n_new == 0:
+            return
+        if self.n_lm + n_new > self.cfg.max_lm:
+            n_new = self.cfg.max_lm - self.n_lm
+            if n_new <= 0:
+                return
+        good_j = jnp.asarray(good)
+        order = jnp.cumsum(good_j.astype(jnp.int32)) - 1
+        slots = self.n_lm + order
+        mask = good_j & (order < n_new)
+        self.state = ms.add_landmarks(
+            self.state, slots, res.pos, res.desc,
+            kf_a, res.kp_a, kf_b, res.kp_b,
+            mask, res.normal, res.min_dist, res.max_dist)
+        self.n_lm += n_new
+
+        # New landmarks also bind into the current frame context.
+        lm_ids = jnp.where(mask, slots, -1)
+        tgt = jnp.where(mask, res.kp_a, self.cfg.n_features)
+        self._last["bindings"] = self._last["bindings"].at[tgt].set(
+            lm_ids, mode="drop")
+
+    # ------------------------------------------------------------------
+    def keyframe_trajectory(self):
+        """(stamps, Rcw, tcw) arrays of live keyframes."""
+        kfs = self.state.kfs
+        valid = np.asarray(kfs.valid)
+        return (np.asarray(kfs.stamp)[valid], np.asarray(kfs.R)[valid],
+                np.asarray(kfs.t)[valid])

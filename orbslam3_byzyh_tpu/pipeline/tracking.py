@@ -1,0 +1,155 @@
+"""Tracking front-end: jitted per-frame step functions.
+
+Replaces the per-frame path of ``Tracking`` (/root/reference/src/Tracking.cc):
+``TrackWithMotionModel`` (:4112), ``TrackReferenceKeyFrame`` (:3931),
+``TrackLocalMap`` (:4234), ``SearchLocalPoints`` (:4742) — re-expressed as
+pure functions over fixed-capacity arrays, orchestrated by pipeline/system.py.
+
+Thresholds follow Appendix A: motion-model projection radius th=15 (widening
+retry is the caller's job), ratio 0.9; local-map radius by viewing cos
+(RadiusByViewingCos: 2.5 / 4.0), scaled by the predicted pyramid level.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import camera as cam
+from ..ops import matching
+from ..solver import pose_opt
+
+SCALE = 1.2
+N_LEVELS = 8
+SIGMA2 = jnp.asarray([SCALE ** (2 * i) for i in range(N_LEVELS)], jnp.float32)
+INV_SIGMA2 = 1.0 / SIGMA2
+
+
+class TrackResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    bindings: jnp.ndarray    # (N,) landmark id per current keypoint, -1 = none
+    n_inliers: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("model_id",))
+def track_motion_model(R_pred, t_pred, lm_pos, lm_valid,
+                       last_bind, last_desc,
+                       feats_xy, feats_level, feats_desc, feats_valid,
+                       cam_params, radius: float = 15.0,
+                       model_id: int = cam.PINHOLE) -> TrackResult:
+    """Match last frame's landmark bindings into the current frame by
+    projection with the motion-model pose, then motion-only pose opt.
+
+    last_bind: (N,) landmark ids bound to LAST frame keypoints (-1 = none).
+    last_desc: (N, 8) last frame descriptors (used as the match source, like
+    the reference matches against the last frame's descriptors).
+    """
+    n = last_bind.shape[0]
+    lm_id = jnp.maximum(last_bind, 0)
+    pw = lm_pos[lm_id]                                 # (N, 3)
+    has_lm = (last_bind >= 0) & lm_valid[lm_id]
+
+    pc = jnp.einsum("ij,nj->ni", R_pred, pw) + t_pred
+    proj = cam.project(model_id, cam_params, pc)
+    ok = has_lm & (pc[:, 2] > 0.05)
+
+    # Radius scales with the level of the source keypoint (reference uses
+    # th * scaleFactor^level of the last-frame kp).
+    lvl = jnp.zeros(n, jnp.int32)
+    rad = radius * SCALE ** lvl.astype(jnp.float32)
+    mj, md = matching.search_by_projection(
+        proj, lvl, last_desc, ok,
+        feats_xy, feats_level, feats_desc, feats_valid,
+        radius=rad, max_dist=matching.TH_HIGH, ratio=0.9,
+        level_window=(-8, 8))
+
+    # Pose optimization over the matched pairs.
+    matched = mj >= 0
+    kp_idx = jnp.maximum(mj, 0)
+    obs_uv = feats_xy[kp_idx]
+    inv_s2 = INV_SIGMA2[feats_level[kp_idx]]
+    res = pose_opt.pose_optimization(
+        R_pred, t_pred, pw, obs_uv, inv_s2, matched, cam_params,
+        model_id=model_id)
+
+    # Bindings for the CURRENT frame: scatter landmark ids to matched kps.
+    bindings = jnp.full((feats_xy.shape[0],), -1, jnp.int32)
+    keep = matched & res.inlier
+    tgt = jnp.where(keep, kp_idx, feats_xy.shape[0])
+    bindings = bindings.at[tgt].set(jnp.where(keep, last_bind, -1),
+                                    mode="drop")
+    return TrackResult(R=res.R, t=res.t, bindings=bindings,
+                       n_inliers=res.n_inliers)
+
+
+@functools.partial(jax.jit, static_argnames=("model_id", "img_w", "img_h"))
+def track_local_map(R0, t0, bindings,
+                    lm_pos, lm_desc, lm_normal, lm_min_d, lm_max_d, lm_valid,
+                    feats_xy, feats_level, feats_desc, feats_valid,
+                    cam_params, img_w: int, img_h: int,
+                    model_id: int = cam.PINHOLE) -> TrackResult:
+    """Project ALL visible landmarks, widen the match set, re-optimize.
+
+    (TrackLocalMap :4234 + SearchLocalPoints :4742.) Landmarks already bound
+    to a keypoint keep their binding; unbound visible landmarks search within
+    a viewing-cos radius.
+    """
+    n_kp = feats_xy.shape[0]
+    n_lm = lm_pos.shape[0]
+
+    visible, proj, dist, plevel = matching.frustum_cull(
+        R0, t0, lm_pos, lm_normal, lm_min_d, lm_max_d, cam_params,
+        float(img_w), float(img_h))
+    visible = visible & lm_valid
+
+    # Landmarks already matched this frame (via motion model) are excluded
+    # from the search and re-attached directly.
+    bound_lm = jnp.maximum(bindings, 0)
+    is_bound_kp = bindings >= 0
+    lm_already = jnp.zeros((n_lm,), bool).at[
+        jnp.where(is_bound_kp, bound_lm, n_lm)].set(True, mode="drop")
+
+    radius = 4.0 * SCALE ** plevel.astype(jnp.float32)
+    mj, md = matching.search_by_projection(
+        proj, plevel, lm_desc, visible & ~lm_already,
+        feats_xy, feats_level, feats_desc,
+        feats_valid & ~is_bound_kp,
+        radius=radius, max_dist=matching.TH_HIGH, ratio=0.8,
+        level_window=(-1, 1))
+
+    # Union of previous bindings and new matches, as (kp -> lm).
+    new_bind = jnp.full((n_kp,), -1, jnp.int32)
+    lm_ids = jnp.arange(n_lm)
+    tgt = jnp.where(mj >= 0, jnp.maximum(mj, 0), n_kp)
+    new_bind = new_bind.at[tgt].set(jnp.where(mj >= 0, lm_ids, -1), mode="drop")
+    bindings = jnp.where(is_bound_kp, bindings, new_bind)
+
+    # Final pose optimization over all bound keypoints.
+    has = bindings >= 0
+    lm_of_kp = jnp.maximum(bindings, 0)
+    pw = lm_pos[lm_of_kp]
+    inv_s2 = INV_SIGMA2[feats_level]
+    res = pose_opt.pose_optimization(
+        R0, t0, pw, feats_xy, inv_s2, has & feats_valid, cam_params,
+        model_id=model_id)
+    bindings = jnp.where(res.inlier | ~has, bindings, -1)
+    return TrackResult(R=res.R, t=res.t, bindings=bindings,
+                       n_inliers=res.n_inliers)
+
+
+@jax.jit
+def match_for_initialization(ref_xy, ref_desc, ref_valid, ref_level,
+                             cur_xy, cur_desc, cur_valid, cur_level,
+                             radius: float = 100.0):
+    """SearchForInitialization (ORBmatcher.cc:735): window search, level 0
+    only, ratio 0.9, mutual."""
+    pm = matching.window_mask(ref_xy, cur_xy, radius)
+    pm = pm & (ref_level[:, None] == 0) & (cur_level[None, :] == 0)
+    mj, md = matching.match(ref_desc, cur_desc, ref_valid, cur_valid,
+                            pair_mask=pm, max_dist=matching.TH_LOW,
+                            ratio=0.9, mutual=True)
+    return mj

@@ -108,9 +108,15 @@ def _build_system(p: BAProblem, R, t, points, inlier, model_id, robust,
                 cost=cost, chi2=chi2, mask=mask)
 
 
-def _schur_reduce(p: BAProblem, sys, lam, n_kf: int):
-    """Form the reduced camera system S (6K, 6K) and rhs (6K,)."""
-    kf = jnp.maximum(p.obs_kf, 0)              # (L, O)
+def schur_pieces(obs_kf, sys, lam, n_kf: int):
+    """Per-landmark-shard Schur contributions.
+
+    Everything returned is a SUM over landmarks — psum-able across a
+    landmark-sharded mesh (parallel/dist_ba.py). Shapes: Hpp (K,6,6),
+    bp (K,6), cross (K,K,6,6), corr (K,6); plus the shard-local
+    (Hll_inv, has_obs) needed for back-substitution.
+    """
+    kf = jnp.maximum(obs_kf, 0)                # (L, O)
     L, O = kf.shape
 
     # Damped landmark blocks and their inverses.
@@ -129,21 +135,27 @@ def _schur_reduce(p: BAProblem, sys, lam, n_kf: int):
     bp = jnp.zeros((n_kf, 6), Hll.dtype).at[kf.reshape(-1)].add(
         sys["bp_o"].reshape(L * O, 6))
 
-    # Schur: S[k1,k2] -= W[l,o1] Hll_inv[l] W[l,o2]^T for all slot pairs.
+    # Schur cross terms: W[l,o1] Hll_inv[l] W[l,o2]^T for all slot pairs.
     W = sys["W"]                                # (L, O, 6, 3)
     WHinv = jnp.einsum("loij,ljk->loik", W, Hll_inv, precision=_HI)  # (L,O,6,3)
-    cross = jnp.einsum("laij,lbkj->labik", WHinv, W, precision=_HI)  # (L,O,O,6,6)
+    cross_o = jnp.einsum("laij,lbkj->labik", WHinv, W, precision=_HI)  # (L,O,O,6,6)
     pair_idx = (kf[:, :, None] * n_kf + kf[:, None, :]).reshape(-1)  # (L*O*O,)
-    S_flat = jnp.zeros((n_kf * n_kf, 6, 6), Hll.dtype).at[pair_idx].add(
-        cross.reshape(-1, 6, 6))
-    S = S_flat.reshape(n_kf, n_kf, 6, 6)
-    S = -S
-    S = S.at[jnp.arange(n_kf), jnp.arange(n_kf)].add(Hpp)
+    cross = jnp.zeros((n_kf * n_kf, 6, 6), Hll.dtype).at[pair_idx].add(
+        cross_o.reshape(-1, 6, 6)).reshape(n_kf, n_kf, 6, 6)
 
-    # rhs: bp - W Hll_inv bl
-    corr = jnp.einsum("loik,lk->loi", WHinv, sys["bl"], precision=_HI)
-    rhs = bp - jnp.zeros((n_kf, 6), Hll.dtype).at[kf.reshape(-1)].add(
-        corr.reshape(L * O, 6))
+    corr_o = jnp.einsum("loik,lk->loi", WHinv, sys["bl"], precision=_HI)
+    corr = jnp.zeros((n_kf, 6), Hll.dtype).at[kf.reshape(-1)].add(
+        corr_o.reshape(L * O, 6))
+    return dict(Hpp=Hpp, bp=bp, cross=cross, corr=corr,
+                Hll_inv=Hll_inv, has_obs=has_obs)
+
+
+def schur_solve(Hpp, bp, cross, corr, lam, fixed, n_kf: int):
+    """Assemble + solve the (replicated) reduced camera system -> dp (K, 6)."""
+    dtype = Hpp.dtype
+    S = -cross
+    S = S.at[jnp.arange(n_kf), jnp.arange(n_kf)].add(Hpp)
+    rhs = bp - corr
 
     # LM damping on the pose blocks.
     diag_p = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
@@ -151,20 +163,32 @@ def _schur_reduce(p: BAProblem, sys, lam, n_kf: int):
         jax.vmap(jnp.diag)(lam * jnp.maximum(diag_p, 1e-9)))
 
     # Fix poses: identity rows/cols, zero rhs.
-    free = (~p.fixed).astype(Hll.dtype)
+    free = (~fixed).astype(dtype)
     S = S * free[:, None, None, None] * free[None, :, None, None]
     S = S.at[jnp.arange(n_kf), jnp.arange(n_kf)].add(
-        jnp.eye(6, dtype=Hll.dtype)[None] * p.fixed[:, None, None])
+        jnp.eye(6, dtype=dtype)[None] * fixed[:, None, None])
     rhs = rhs * free[:, None]
 
     Sd = S.transpose(0, 2, 1, 3).reshape(n_kf * 6, n_kf * 6)
-    dp = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(n_kf, 6)
+    return jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(n_kf, 6)
 
-    # Back-substitute landmarks: dl = Hll_inv (bl - sum_o W^T dp[kf]).
+
+def back_substitute(obs_kf, sys, Hll_inv, has_obs, dp):
+    """Landmark updates for one shard: dl = Hll_inv (bl - sum_o W^T dp[kf])."""
+    kf = jnp.maximum(obs_kf, 0)
+    W = sys["W"]
     dp_per_obs = dp[kf]                          # (L, O, 6)
     Wt_dp = jnp.einsum("loij,loi->lj", W, dp_per_obs, precision=_HI)
     dl = jnp.einsum("lij,lj->li", Hll_inv, sys["bl"] - Wt_dp, precision=_HI)
-    dl = jnp.where(has_obs[:, None], dl, 0.0)
+    return jnp.where(has_obs[:, None], dl, 0.0)
+
+
+def _schur_reduce(p: BAProblem, sys, lam, n_kf: int):
+    """Single-device Schur step (pieces -> solve -> back-substitute)."""
+    pieces = schur_pieces(p.obs_kf, sys, lam, n_kf)
+    dp = schur_solve(pieces["Hpp"], pieces["bp"], pieces["cross"],
+                     pieces["corr"], lam, p.fixed, n_kf)
+    dl = back_substitute(p.obs_kf, sys, pieces["Hll_inv"], pieces["has_obs"], dp)
     return dp, dl
 
 

@@ -1,0 +1,78 @@
+"""Synthetic rendered world for end-to-end SLAM tests.
+
+Renders a random 3D point field as small textured blobs with OpenCV; camera
+follows a smooth trajectory. Ground-truth poses let tests score ATE without
+any external dataset (EuRoC is not available in this environment).
+"""
+
+from __future__ import annotations
+
+import cv2
+import numpy as np
+
+
+class SynthWorld:
+    def __init__(self, seed=0, n_points=2500, w=640, h=480,
+                 fx=400.0, fy=400.0):
+        self.rng = np.random.default_rng(seed)
+        self.w, self.h = w, h
+        self.fx, self.fy = fx, fy
+        self.cx, self.cy = w / 2.0, h / 2.0
+        # Point field in a broad slab in front of the trajectory.
+        self.pts = np.stack([
+            self.rng.uniform(-8, 12, n_points),
+            self.rng.uniform(-5, 5, n_points),
+            self.rng.uniform(3, 9, n_points)], -1)
+        self.intens = self.rng.uniform(60, 255, n_points)
+        self.sizes = self.rng.integers(3, 9, n_points)
+        self.shapes = self.rng.integers(0, 3, n_points)
+        # Distinctive per-blob satellite pattern: 4 surrounding dots with
+        # random offsets/intensities make local neighborhoods unique, so the
+        # nearest/second-nearest ratio test keeps true matches.
+        self.sat_off = self.rng.uniform(-2.5, 2.5, (n_points, 4, 2))
+        self.sat_int = self.rng.uniform(40, 255, (n_points, 4))
+
+    def pose(self, t: float):
+        """GT world->cam pose at time t (smooth sideways arc + slight yaw)."""
+        from scipy.spatial.transform import Rotation
+        cam_pos = np.array([0.9 * t, 0.2 * np.sin(0.5 * t), 0.08 * t])
+        yaw = 0.04 * t
+        pitch = 0.02 * np.sin(0.8 * t)
+        R_wc = Rotation.from_euler("yx", [yaw, pitch]).as_matrix()
+        R_cw = R_wc.T
+        t_cw = -R_cw @ cam_pos
+        return R_cw.astype(np.float32), t_cw.astype(np.float32)
+
+    def render(self, t: float) -> np.ndarray:
+        R, tt = self.pose(t)
+        pc = self.pts @ R.T + tt
+        z = pc[:, 2]
+        vis = z > 0.5
+        u = self.fx * pc[:, 0] / np.maximum(z, 1e-6) + self.cx
+        v = self.fy * pc[:, 1] / np.maximum(z, 1e-6) + self.cy
+        img = np.full((self.h, self.w), 30, np.uint8)
+        # Low-frequency background so FAST doesn't fire on pure noise.
+        order = np.argsort(-z)  # far first, near drawn on top
+        for i in order:
+            if not vis[i]:
+                continue
+            ui, vi = int(round(u[i])), int(round(v[i]))
+            if not (-10 <= ui < self.w + 10 and -10 <= vi < self.h + 10):
+                continue
+            r = max(3, int(round(self.sizes[i] * 8.0 / z[i])))
+            val = int(self.intens[i])
+            if self.shapes[i] == 0:
+                cv2.circle(img, (ui, vi), r, val, -1)
+            elif self.shapes[i] == 1:
+                cv2.rectangle(img, (ui - r, vi - r), (ui + r, vi + r), val, -1)
+            else:
+                pts = np.array([[ui, vi - r], [ui - r, vi + r], [ui + r, vi + r]])
+                cv2.fillConvexPoly(img, pts, val)
+            # Satellites scale with the blob (attached to the same 3D point).
+            for s in range(4):
+                su = int(round(ui + self.sat_off[i, s, 0] * r))
+                sv = int(round(vi + self.sat_off[i, s, 1] * r))
+                cv2.circle(img, (su, sv), max(1, r // 3),
+                           int(self.sat_int[i, s]), -1)
+        img = cv2.GaussianBlur(img, (3, 3), 0.8)
+        return img.astype(np.float32)
