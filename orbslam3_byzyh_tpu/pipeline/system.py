@@ -297,8 +297,8 @@ class MonoSlam:
             self.state, jnp.maximum(bindings, 0), kf_id, kp_idx, has)
 
         # Triangulate new landmarks against covisible neighbors.
-        counts = np.asarray(ms.covisibility_counts(
-            self.state, kf_id, self.cfg.max_kf))
+        counts = np.array(ms.covisibility_counts(
+            self.state, kf_id, self.cfg.max_kf))  # copy: np view is read-only
         counts[kf_id] = 0
         order = np.argsort(-counts)
         neighbors = [int(k) for k in order[:self.cfg.triangulation_neighbors]
