@@ -13,10 +13,10 @@ def slam_run():
     world = SynthWorld(seed=3)
     cfg = SlamConfig(fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
                      width=world.w, height=world.h,
-                     n_features=1536, max_kf=64, max_lm=8192, fps=10,
+                     n_features=1536, max_kf=48, max_lm=4096, max_obs=8, fps=10,
                      min_init_matches=60)
     slam = MonoSlam(cfg)
-    stamps = np.arange(0, 6.0, 0.1)  # 60 frames at 10 fps
+    stamps = np.arange(0, 4.5, 0.1)  # 45 frames at 10 fps
     gt = {}
     for t in stamps:
         img = world.render(t)
@@ -34,7 +34,7 @@ class TestEndToEndMono:
 
     def test_tracks_most_frames(self, slam_run):
         slam, _, _ = slam_run
-        assert len(slam.trajectory) > 45
+        assert len(slam.trajectory) > 32
 
     def test_ate_under_threshold(self, slam_run):
         slam, world, gt = slam_run
@@ -48,7 +48,7 @@ class TestEndToEndMono:
         rmse, n = evaluate.ate_rmse(stamps, est_c, gt_stamps, gt_c,
                                     with_scale=True)
         # Trajectory spans ~3.6 m; ATE gate ~4% of span.
-        assert n > 40
+        assert n > 30
         assert rmse < 0.15, rmse
 
     def test_map_landmarks_near_gt_points(self, slam_run):
