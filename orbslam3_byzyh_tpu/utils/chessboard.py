@@ -83,10 +83,18 @@ def pose_from_chessboard(corners: np.ndarray, cfg: ChessboardConfig,
     candidates = (corners, grid[::-1].reshape(-1, 2),
                   grid[:, ::-1].reshape(-1, 2),
                   grid[::-1, ::-1].reshape(-1, 2))
+    # All four fit a plane equally well (planar mirror ambiguity): a flipped
+    # correspondence equals the pose reflected through the board plane. The
+    # physical tiebreak: the camera sits ABOVE the board (center z >
+    # z_height, world z up) — the fork rig's convention.
     best = None
     for cand in candidates:
         pose = _pose_one_ordering(cand, cfg, K)
         if pose is None:
+            continue
+        R_cw, t_cw = pose
+        center = -R_cw.T @ t_cw
+        if center[2] <= cfg.z_height:
             continue
         err = _reproj_err(pose, cfg, K, cand)
         if best is None or err < best[0]:
