@@ -87,17 +87,20 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     w_vee = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
 
-    sin_theta = jnp.sin(theta)
-    small = theta < _EPS
+    # theta from atan2(sin, cos): smooth everywhere (arccos has an infinite
+    # gradient at +-1, which poisons autodiff through near-identity logs —
+    # pose-graph edges sit exactly there).
+    sin2 = jnp.sum(w_vee * w_vee, axis=-1)
+    sin_theta = jnp.sqrt(sin2 + 1e-14)
+    theta = jnp.arctan2(sin_theta, cos_theta)
     near_pi = theta > (jnp.pi - 1e-3)
 
-    # Generic branch: w = theta / (2 sin theta) * vee(R - R^T).
+    # Generic branch: w = theta / sin(theta) * w_vee; the regularized
+    # sin_theta keeps the ratio smooth (and ~1 + eps-level bias) at theta=0.
     # sin(theta) ~ 0 near pi is guarded; that region is overwritten below.
-    safe_sin = jnp.where(jnp.abs(sin_theta) < 1e-6, 1.0, sin_theta)
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / safe_sin)
+    scale = theta / jnp.where(near_pi, 1.0, sin_theta)
     w_generic = scale[..., None] * w_vee
 
     # Near-pi branch: axis from largest diagonal of (R + I)/2.

@@ -15,7 +15,7 @@ class TestSim3Ransac:
         xi = rng.uniform(-0.5, 0.5, 7).astype(np.float32)
         xi[6] = 0.3  # scale e^0.3
         R, t, s = lie.sim3_exp(jnp.asarray(xi))
-        pb = np.asarray(lie.sim3_apply(R, t, s, jnp.asarray(pa)))
+        pb = np.array(lie.sim3_apply(R, t, s, jnp.asarray(pa)))
         pb += rng.normal(0, 0.01, pb.shape)
         out = rng.choice(n, 50, replace=False)
         pb[out] += rng.uniform(1, 3, (50, 3))
