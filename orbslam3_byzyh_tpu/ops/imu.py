@@ -158,20 +158,25 @@ def integrate(acc: jnp.ndarray, gyr: jnp.ndarray, dts: jnp.ndarray,
 # parity: GetDeltaRotation/Velocity/Position, /root/reference/src/ImuTypes.cc:383-420)
 # ---------------------------------------------------------------------------
 
-def delta_rotation(state: PreintState, new_bias: jnp.ndarray) -> jnp.ndarray:
-    dbg = new_bias[:3] - state.bias[:3]
-    return lie.normalize_rotation(_mm(state.dR, lie.so3_exp(_mv(state.JRg, dbg))))
+def delta_rotation(state: PreintState, new_bias: jnp.ndarray,
+                   normalize: bool = True) -> jnp.ndarray:
+    dbg = new_bias[..., :3] - state.bias[..., :3]
+    dR = _mm(state.dR, lie.so3_exp(_mv(state.JRg, dbg)))
+    # normalize=False keeps the op autodiff-safe: the SVD re-projection has
+    # repeated singular values (all ~1) whose gradients are NaN; the product
+    # of two rotations is orthonormal to f32 precision anyway.
+    return lie.normalize_rotation(dR) if normalize else dR
 
 
 def delta_velocity(state: PreintState, new_bias: jnp.ndarray) -> jnp.ndarray:
-    dbg = new_bias[:3] - state.bias[:3]
-    dba = new_bias[3:] - state.bias[3:]
+    dbg = new_bias[..., :3] - state.bias[..., :3]
+    dba = new_bias[..., 3:] - state.bias[..., 3:]
     return state.dV + _mv(state.JVg, dbg) + _mv(state.JVa, dba)
 
 
 def delta_position(state: PreintState, new_bias: jnp.ndarray) -> jnp.ndarray:
-    dbg = new_bias[:3] - state.bias[:3]
-    dba = new_bias[3:] - state.bias[3:]
+    dbg = new_bias[..., :3] - state.bias[..., :3]
+    dba = new_bias[..., 3:] - state.bias[..., 3:]
     return state.dP + _mv(state.JPg, dbg) + _mv(state.JPa, dba)
 
 

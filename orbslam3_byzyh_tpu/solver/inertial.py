@@ -48,7 +48,7 @@ def inertial_residual(R_i, p_i, v_i, R_j, p_j, v_j, bg, ba, preint,
         g_w = imu.GRAVITY_VEC
     t = preint.dT
     bias = jnp.concatenate([bg, ba], -1)
-    dR = imu.delta_rotation(preint, bias)
+    dR = imu.delta_rotation(preint, bias, normalize=False)
     dV = imu.delta_velocity(preint, bias)
     dP = imu.delta_position(preint, bias)
     Ri_T = jnp.swapaxes(R_i, -1, -2)
