@@ -6,52 +6,87 @@ import numpy as np
 
 from orbslam3_byzyh_tpu.ops import imu, lie
 from orbslam3_byzyh_tpu.solver import inertial
-from test_imu import NOISE, WALK, synth_trajectory
+from test_imu import NOISE, WALK
 
 
 def make_kf_chain(n_kf=11, seg_steps=100, rate=200.0, seed=1,
-                  bg_true=None, ba_true=None):
-    """Analytic trajectory sampled into KFs with preintegrated segments."""
-    acc, gyr, dts, gt = synth_trajectory(n_steps=(n_kf - 1) * seg_steps,
-                                         rate=rate, seed=seed)
+                  bg_true=None, ba_true=None, noise_cov=None, walk_cov=None):
+    """Synthetic KF chain whose GT states are defined BY the integrator.
+
+    Analytic acc/gyro signals are rolled through the same Euler scheme the
+    preintegration uses (imu.predict_state chaining), so ground truth is
+    exactly consistent with the measurement model — no discretization bias
+    leaking into the (IMU-observable) scale direction.
+    """
+    rng = np.random.default_rng(seed)
+    n_steps = (n_kf - 1) * seg_steps
+    dt = 1.0 / rate
+    ts = (np.arange(n_steps) + 0.5) * dt
+    amp_a = rng.uniform(0.5, 2.0, 3)
+    freq_a = rng.uniform(0.3, 1.0, 3)
+    phase_a = rng.uniform(0, 2 * np.pi, 3)
+    amp_w = rng.uniform(0.2, 0.6, 3)
+    freq_w = rng.uniform(0.2, 0.8, 3)
+
+    # True body-frame specific force (without gravity compensation yet) and
+    # angular rate as smooth signals.
+    gyr_true = (amp_w[None, :] *
+                np.sin(2 * np.pi * freq_w[None, :] * ts[:, None])
+                ).astype(np.float32)
+    acc_lin = (amp_a[None, :] *
+               np.sin(2 * np.pi * freq_a[None, :] * ts[:, None] + phase_a)
+               ).astype(np.float32)
+
+    # Roll rotations forward (Euler, like the integrator) to get R at each
+    # step, then add the gravity reaction in body frame: f_b = a_b - R^T g.
+    g = np.array([0.0, 0.0, -imu.GRAVITY], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    acc_meas = np.empty_like(acc_lin)
+    Rs_step = []
+    for i in range(n_steps):
+        Rs_step.append(R)
+        acc_meas[i] = acc_lin[i] - R.T @ g
+        R = R @ np.asarray(lie.so3_exp(jnp.asarray(gyr_true[i] * dt)))
+    acc = acc_meas.copy()
+    gyr = gyr_true.copy()
     if bg_true is not None:
         gyr = gyr + bg_true
     if ba_true is not None:
         acc = acc + ba_true
-    from scipy.spatial.transform import Rotation
+    dts = np.full(n_steps, dt, np.float32)
 
-    # Recompute GT states at KF boundaries by re-deriving the trajectory.
-    rng = np.random.default_rng(seed)
-    amp = rng.uniform(0.2, 0.8, size=3)
-    freq = rng.uniform(0.5, 1.5, size=3)
-    phase = rng.uniform(0, 2 * np.pi, size=3)
-    axis = rng.normal(size=3)
-    axis /= np.linalg.norm(axis)
-    w_mag = 0.8
-    dt = 1.0 / rate
-
-    def p_of(t):
-        return amp * np.sin(2 * np.pi * freq * t + phase)
-
-    def v_of(t):
-        return amp * 2 * np.pi * freq * np.cos(2 * np.pi * freq * t + phase)
-
-    def R_of(t):
-        return Rotation.from_rotvec(axis * w_mag * t).as_matrix()
-
-    kf_t = np.arange(n_kf) * seg_steps * dt
-    Rs = np.stack([R_of(t) for t in kf_t]).astype(np.float32)
-    ps = np.stack([p_of(t) for t in kf_t]).astype(np.float32)
-    vs = np.stack([v_of(t) for t in kf_t]).astype(np.float32)
-
+    # Preintegrate segments (at zero bias) and chain predict_state from the
+    # initial state to define GT keyframe states.
+    ncov = NOISE if noise_cov is None else noise_cov
+    wcov = WALK if walk_cov is None else walk_cov
     preints = []
+    Rs = [np.eye(3, dtype=np.float32)]
+    ps = [np.zeros(3, np.float32)]
+    vs = [rng.uniform(-0.5, 0.5, 3).astype(np.float32)]
     for k in range(n_kf - 1):
         lo, hi = k * seg_steps, (k + 1) * seg_steps
-        st = imu.integrate(jnp.asarray(acc[lo:hi]), jnp.asarray(gyr[lo:hi]),
-                           jnp.asarray(dts[lo:hi]), jnp.zeros(6), NOISE, WALK)
+        st = imu.integrate(jnp.asarray(acc_meas[lo:hi]),
+                           jnp.asarray(gyr_true[lo:hi]),
+                           jnp.asarray(dts[lo:hi]), jnp.zeros(6), ncov, wcov)
         preints.append(st)
+        Rn, vn, pn = imu.predict_state(
+            jnp.asarray(Rs[-1]), jnp.asarray(vs[-1]), jnp.asarray(ps[-1]),
+            st, jnp.zeros(6))
+        Rs.append(np.asarray(Rn))
+        vs.append(np.asarray(vn))
+        ps.append(np.asarray(pn))
+    # Re-integrate with the biased measurements for the returned preints
+    # (GT states stay those of the bias-free chain).
+    if bg_true is not None or ba_true is not None:
+        preints = []
+        for k in range(n_kf - 1):
+            lo, hi = k * seg_steps, (k + 1) * seg_steps
+            st = imu.integrate(jnp.asarray(acc[lo:hi]), jnp.asarray(gyr[lo:hi]),
+                               jnp.asarray(dts[lo:hi]), jnp.zeros(6), ncov, wcov)
+            preints.append(st)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *preints)
-    return Rs, ps, vs, stacked
+    return (np.stack(Rs).astype(np.float32), np.stack(ps).astype(np.float32),
+            np.stack(vs).astype(np.float32), stacked)
 
 
 class TestInertialResidual:
