@@ -7,13 +7,27 @@ BASELINE.md: >= 2x real-time per chip (vs_baseline >= 2.0).
 """
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 
+
+def _enable_compile_cache():
+    """The axon remote compiler is slow for large programs (minutes); the
+    persistent cache makes every compile one-time per machine."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def main():
+    _enable_compile_cache()
     import jax
 
     from orbslam3_byzyh_tpu import graft

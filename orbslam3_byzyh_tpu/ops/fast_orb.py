@@ -265,9 +265,44 @@ def _conv2d_full(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
 
 def orientation_maps(img: jnp.ndarray):
-    """Dense IC_Angle moments: returns (m10, m01) maps (IC_Angle :91 parity)."""
-    m10 = _conv2d_full(img, _K10)
-    m01 = _conv2d_full(img, _K01)
+    """Dense IC_Angle moments (m10, m01) via row-decomposed prefix sums.
+
+    A direct 31x31 convolution compiles pathologically slowly on the TPU
+    toolchain (~200 s per conv). The circular-disc moments decompose into 31
+    row segments: with row prefix sums C = cumsum(I) and D = cumsum(x*I),
+    each row's segment sum is two shifted differences — O(rows) tiny ops,
+    identical result (IC_Angle :91 parity).
+    """
+    h, w = img.shape
+    pad = HALF_PATCH_SIZE + 1
+    imgp = jnp.pad(img, ((pad, pad), (pad, pad)))
+    hp, wp = imgp.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1)
+    C = jnp.cumsum(imgp, axis=1)
+    D = jnp.cumsum(xs * imgp, axis=1)
+    # Prepend a zero column so segment sum over [x0+a, x0+b] is
+    # P[x0+b+1] - P[x0+a] with P = [0, cumsum].
+    C = jnp.concatenate([jnp.zeros((hp, 1)), C], axis=1)
+    D = jnp.concatenate([jnp.zeros((hp, 1)), D], axis=1)
+
+    umax = _umax_table()
+    m10 = jnp.zeros((h, w), jnp.float32)
+    m01 = jnp.zeros((h, w), jnp.float32)
+    # Center pixel (x0, y0) of the output sits at (x0+pad, y0+pad) in imgp.
+    x0 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + pad
+    for v in range(-HALF_PATCH_SIZE, HALF_PATCH_SIZE + 1):
+        half = int(umax[abs(v)])
+        row = pad + v
+        # Slices of the padded prefix arrays aligned to output pixels:
+        # segment [x0-half, x0+half] -> P[row, x0+half+1] - P[row, x0-half].
+        Chi = jax.lax.dynamic_slice(C, (row, pad + half + 1), (h, w))
+        Clo = jax.lax.dynamic_slice(C, (row, pad - half), (h, w))
+        Dhi = jax.lax.dynamic_slice(D, (row, pad + half + 1), (h, w))
+        Dlo = jax.lax.dynamic_slice(D, (row, pad - half), (h, w))
+        seg_sum = Chi - Clo
+        seg_xsum = Dhi - Dlo
+        m10 = m10 + (seg_xsum - x0 * seg_sum)
+        m01 = m01 + float(v) * seg_sum
     return m10, m01
 
 
