@@ -1,0 +1,88 @@
+"""Atlas multi-map lifecycle tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam3_byzyh_tpu.models import atlas, map_state as ms
+from orbslam3_byzyh_tpu.ops import fast_orb, lie
+
+
+def make_feats(rng, n_feat=64):
+    return fast_orb.FrameFeatures(
+        xy=jnp.asarray(rng.uniform(0, 100, (n_feat, 2)).astype(np.float32)),
+        level=jnp.zeros((n_feat,), jnp.int32),
+        angle=jnp.zeros((n_feat,)),
+        response=jnp.ones((n_feat,)),
+        desc=jnp.asarray(rng.integers(0, 2**32, (n_feat, 8), dtype=np.uint32)),
+        valid=jnp.ones((n_feat,), bool))
+
+
+def fill_map(at, rng, n_kf=3, n_lm=20):
+    for k in range(n_kf):
+        at.state = ms.add_keyframe(
+            at.state, k, jnp.eye(3), jnp.asarray([0.1 * k, 0, 0]),
+            float(k), make_feats(rng))
+    slots = jnp.arange(n_lm)
+    at.state = ms.add_landmarks(
+        at.state, slots,
+        jnp.asarray(rng.normal(size=(n_lm, 3)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, 2**32, (n_lm, 8), dtype=np.uint32)),
+        0, jnp.arange(n_lm, dtype=jnp.int32),
+        1, jnp.arange(n_lm, dtype=jnp.int32),
+        jnp.ones(n_lm, bool), jnp.zeros((n_lm, 3)),
+        jnp.zeros(n_lm), jnp.full((n_lm,), 10.0))
+    at.meta[at.current] = atlas.MapMeta(n_kf=n_kf, n_lm=n_lm)
+
+
+class TestAtlas:
+    def test_create_new_map(self, rng):
+        at = atlas.Atlas(16, 256, 4, 64)
+        fill_map(at, rng)
+        old = at.current
+        at.create_new_map()
+        assert at.current != old
+        assert not bool(at.state.kfs.valid.any())
+        # Old map preserved.
+        assert bool(at.maps[old].kfs.valid[0])
+
+    def test_reset_active(self, rng):
+        at = atlas.Atlas(16, 256, 4, 64)
+        fill_map(at, rng)
+        at.reset_active_map()
+        assert not bool(at.state.kfs.valid.any())
+
+    def test_merge_welds_geometry(self, rng):
+        at = atlas.Atlas(16, 256, 4, 64)
+        fill_map(at, rng, n_kf=3, n_lm=20)
+        at.create_new_map()
+        fill_map(at, rng, n_kf=2, n_lm=10)
+        other = at.current
+        # Switch back to map 0 as current and weld map 1 into it with a
+        # known Sim3.
+        at.current = 0
+        xi = np.zeros(7, np.float32)
+        xi[:3] = [1.0, 0.5, -0.2]
+        xi[6] = np.log(2.0)
+        R_m, t_m, s_m = lie.sim3_exp(jnp.asarray(xi))
+        lm_pos_before = np.asarray(at.maps[other].lms.pos[:10])
+        kf_R_before = np.asarray(at.maps[other].kfs.R[:2])
+        kf_t_before = np.asarray(at.maps[other].kfs.t[:2])
+        at.merge(other, np.asarray(R_m), np.asarray(t_m), float(s_m))
+
+        meta = at.counts()
+        assert meta.n_kf == 5 and meta.n_lm == 30
+        # Welded landmark positions transformed by the Sim3.
+        expected = float(s_m) * lm_pos_before @ np.asarray(R_m).T + np.asarray(t_m)
+        np.testing.assert_allclose(
+            np.asarray(at.state.lms.pos[20:30]), expected, atol=1e-5)
+        # Welded keyframes reproject the same camera-frame points:
+        # R'(s R_m x + t_m) + t' == s (R x + t) for any x.
+        x = rng.normal(size=3).astype(np.float32)
+        for k in range(2):
+            lhs = np.asarray(at.state.kfs.R[3 + k]) @ (
+                float(s_m) * np.asarray(R_m) @ x + np.asarray(t_m)) \
+                + np.asarray(at.state.kfs.t[3 + k])
+            rhs = float(s_m) * (kf_R_before[k] @ x + kf_t_before[k])
+            np.testing.assert_allclose(lhs, rhs, atol=1e-4)
+        # Observation kf ids shifted.
+        assert int(at.state.obs.kf[20, 0]) == 3
