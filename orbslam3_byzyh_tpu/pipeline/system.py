@@ -19,10 +19,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models import atlas as atlas_mod
 from ..models import map_state as ms
 from ..ops import camera as cam
 from ..ops import fast_orb, geometry, lie
+from ..solver import pose_opt
 from . import mapping, tracking
+from .loop_closing import LoopCloser
 
 NOT_INITIALIZED = 0
 OK = 1
@@ -49,6 +52,11 @@ class SlamConfig:
     local_window: int = 8                  # free KFs in local BA
     min_init_matches: int = 100            # two-view init gate (Tracking.cc:3620)
     triangulation_neighbors: int = 3
+    vocabulary: Optional[object] = None    # ops.bow.Vocabulary for reloc/loops
+    use_loop_closing: bool = True
+    min_reloc_inliers: int = 30            # Relocalization gate (~:5230)
+    lost_grace_frames: Optional[int] = None  # RECENTLY_LOST budget (~fps)
+    chessboard: Optional[object] = None    # utils.chessboard.ChessboardConfig
 
     def cam_params(self):
         return np.array([self.fx, self.fy, self.cx, self.cy], np.float32)
@@ -62,12 +70,19 @@ class MonoSlam:
         self.cam_params = jnp.asarray(config.cam_params())
         self.dist = (jnp.asarray(config.dist.astype(np.float32))
                      if config.dist is not None else None)
-        self.state = ms.empty_map(config.max_kf, config.max_lm,
-                                  config.max_obs, config.n_features)
+        self.atlas = atlas_mod.Atlas(config.max_kf, config.max_lm,
+                                     config.max_obs, config.n_features)
         self.status = NOT_INITIALIZED
-        self.n_kf = 0
-        self.n_lm = 0
         self.max_frames = config.max_frames or int(config.fps)
+        self.lost_grace = config.lost_grace_frames or int(config.fps)
+        self.lost_frames = 0
+        self.loop_closer = None
+        if config.vocabulary is not None:
+            self.loop_closer = LoopCloser(config.vocabulary, config.max_kf,
+                                          config.n_features)
+        # Chessboard world-frame initialization (fork feature).
+        self._chess_pose = None
+        self._chess_applied = False
 
         # Reference frame for initialization.
         self._init_feats = None
@@ -82,6 +97,31 @@ class MonoSlam:
         self.rng_key = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------
+    @property
+    def state(self) -> ms.MapState:
+        return self.atlas.state
+
+    @state.setter
+    def state(self, s: ms.MapState):
+        self.atlas.state = s
+
+    @property
+    def n_kf(self) -> int:
+        return self.atlas.counts().n_kf
+
+    @n_kf.setter
+    def n_kf(self, v: int):
+        self.atlas.counts().n_kf = v
+
+    @property
+    def n_lm(self) -> int:
+        return self.atlas.counts().n_lm
+
+    @n_lm.setter
+    def n_lm(self, v: int):
+        self.atlas.counts().n_lm = v
+
+    # ------------------------------------------------------------------
     def _extract(self, img: np.ndarray) -> fast_orb.FrameFeatures:
         feats = fast_orb.extract(jnp.asarray(img, jnp.float32),
                                  n_features=self.cfg.n_features)
@@ -93,6 +133,9 @@ class MonoSlam:
     # ------------------------------------------------------------------
     def track(self, img: np.ndarray, stamp: float):
         """Process one frame; returns Tcw (R, t) or None while initializing."""
+        if (self.cfg.chessboard is not None and self._chess_pose is None
+                and self.status == NOT_INITIALIZED):
+            self._snoop_chessboard(img)
         feats = self._extract(img)
 
         if self.status == NOT_INITIALIZED:
@@ -236,10 +279,19 @@ class MonoSlam:
 
         n_inliers = int(res.n_inliers)
         if n_inliers < 15:
+            # RECENTLY_LOST (Tracking.cc:2925-2947): dead-reckon for a grace
+            # period while attempting relocalization; then give the map up.
             self.status = RECENTLY_LOST
-            # Keep last context; dead-reckon with the motion model.
+            self.lost_frames += 1
+            reloc = self._relocalize(feats, stamp)
+            if reloc is not None:
+                return reloc
+            if self.lost_frames > self.lost_grace:
+                self._handle_lost(feats, stamp)
+                return None
             return (res.R, res.t)
         self.status = OK
+        self.lost_frames = 0
 
         # Found/visible counters for culling.
         bound = np.asarray(res.bindings)
@@ -249,6 +301,12 @@ class MonoSlam:
         self.state = self.state._replace(lms=self.state.lms._replace(
             n_found=self.state.lms.n_found + lms_found,
             n_visible=self.state.lms.n_visible + lms_found))
+
+        # Chessboard world-frame rebase, once, after successful init
+        # (fork behaviour, Tracking.cc:3324-3341).
+        if (self._chess_pose is not None and not self._chess_applied
+                and self.n_kf >= 2):
+            self._apply_chessboard_rebase()
 
         # Motion model update.
         R_lw, t_lw = last["R"], last["t"]
@@ -326,6 +384,19 @@ class MonoSlam:
             self.state, jnp.asarray(kf_id, jnp.int32))
         self.last_kf_id = kf_id
 
+        # Loop closing (LoopClosing::Run per-KF work, :100).
+        if self.loop_closer is not None and self.cfg.use_loop_closing:
+            self.loop_closer.add_keyframe(self.state, kf_id)
+            det = self.loop_closer.detect(self.state, kf_id, self.n_kf)
+            if det is not None:
+                cand, corr = det
+                self.state = self.loop_closer.close(
+                    self.state, kf_id, cand, corr, self.n_kf)
+                # Refresh the tracking context to the corrected pose.
+                self._last["R"] = self.state.kfs.R[kf_id]
+                self._last["t"] = self.state.kfs.t[kf_id]
+                self._vel = None
+
         # Rebind current-frame bindings to post-BA state (pose refreshed).
         self._last["R"] = self.state.kfs.R[kf_id]
         self._last["t"] = self.state.kfs.t[kf_id]
@@ -361,6 +432,86 @@ class MonoSlam:
         tgt = jnp.where(mask, res.kp_a, self.cfg.n_features)
         self._last["bindings"] = self._last["bindings"].at[tgt].set(
             lm_ids, mode="drop")
+
+    # ------------------------------------------------------------------
+    # Relocalization + map lifecycle (Relocalization :5087; Atlas flow)
+    # ------------------------------------------------------------------
+    def _relocalize(self, feats, stamp):
+        if self.loop_closer is None:
+            return None
+        ids, scores, _ = self.loop_closer.db.query(
+            feats.desc, feats.valid, top_n=3)
+        lms = self.state.lms
+        for cand in ids:
+            if cand < 0 or not bool(self.state.kfs.valid[cand]):
+                continue
+            # Try tracking the local map from the candidate KF's pose.
+            res = tracking.track_local_map(
+                self.state.kfs.R[int(cand)], self.state.kfs.t[int(cand)],
+                jnp.full((self.cfg.n_features,), -1, jnp.int32),
+                lms.pos, lms.desc, lms.normal, lms.min_dist, lms.max_dist,
+                lms.valid,
+                feats.xy, feats.level, feats.desc, feats.valid,
+                self.cam_params, self.cfg.width, self.cfg.height)
+            if int(res.n_inliers) >= self.cfg.min_reloc_inliers:
+                self.status = OK
+                self.lost_frames = 0
+                self._vel = None
+                self._last = dict(feats=feats, bindings=res.bindings,
+                                  R=res.R, t=res.t, stamp=stamp)
+                return (res.R, res.t)
+        return None
+
+    def _handle_lost(self, feats, stamp):
+        """LOST: small map -> reset; mature map -> keep it, start a new one
+        (Tracking.cc:3349-3378 + CreateMapInAtlas)."""
+        if self.n_kf < 10:
+            self.atlas.reset_active_map()
+        else:
+            self.atlas.create_new_map()
+        self.status = NOT_INITIALIZED
+        self.lost_frames = 0
+        self._init_feats = None
+        self._init_stamp = None
+        self._last = None
+        self._vel = None
+        self.last_kf_id = -1
+        self.frames_since_kf = 0
+
+    # ------------------------------------------------------------------
+    # Chessboard world-frame init (fork feature; utils/chessboard.py)
+    # ------------------------------------------------------------------
+    def _snoop_chessboard(self, img):
+        from ..utils import chessboard as cb
+
+        corners = cb.detect_chessboard(np.asarray(img), self.cfg.chessboard)
+        if corners is None:
+            return
+        K = np.array([[self.cfg.fx, 0, self.cfg.cx],
+                      [0, self.cfg.fy, self.cfg.cy], [0, 0, 1.0]])
+        pose = cb.pose_from_chessboard(corners, self.cfg.chessboard, K)
+        if pose is not None:
+            self._chess_pose = pose
+            self._chess_frame_is_next_init = True
+
+    def _apply_chessboard_rebase(self):
+        from ..utils import chessboard as cb
+
+        R_chess, t_chess = self._chess_pose
+        # The chessboard pose was taken (approximately) at the first init
+        # frame == keyframe 0 of this map.
+        R_slam = np.asarray(self.state.kfs.R[0])
+        t_slam = np.asarray(self.state.kfs.t[0])
+        R_m, t_m = cb.rebase_transform(R_chess, t_chess, R_slam, t_slam)
+        self.state = cb.rebase_map(self.state, R_m, t_m)
+        # Tracking context must follow the rebase.
+        if self._last is not None:
+            R_l = np.asarray(self._last["R"]) @ R_m.T
+            t_l = np.asarray(self._last["t"]) - R_l @ t_m
+            self._last["R"] = jnp.asarray(R_l)
+            self._last["t"] = jnp.asarray(t_l)
+            self._vel = None
+        self._chess_applied = True
 
     # ------------------------------------------------------------------
     def keyframe_trajectory(self):

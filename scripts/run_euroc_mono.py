@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Monocular EuRoC runner (mono_euroc.cc equivalent).
+
+Usage:
+  python scripts/run_euroc_mono.py <settings.yaml> <sequence_dir> \
+      [--timestamps FILE] [--output-name NAME] [--vocabulary VOC.npz] \
+      [--max-frames N]
+
+Replaces /root/reference/Examples/Monocular/mono_euroc.cc: loads the EuRoC
+sequence + YAML calibration, runs the SLAM system frame by frame with the
+native prefetcher, and writes f_<name>.txt / kf_<name>.txt trajectories in
+the reference's TUM/EuRoC format (nanosecond stamps) so
+evaluate_ate_scale.py can score them directly.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("settings")
+    ap.add_argument("sequence")
+    ap.add_argument("--timestamps", default=None)
+    ap.add_argument("--output-name", default="output")
+    ap.add_argument("--vocabulary", default=None)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--no-loop-closing", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from orbslam3_byzyh_tpu.io import euroc, settings, trajectory
+    from orbslam3_byzyh_tpu.native import ImagePrefetcher
+    from orbslam3_byzyh_tpu.pipeline.system import MonoSlam, SlamConfig
+    from orbslam3_byzyh_tpu.utils.timers import StageTimers
+
+    cfg_yaml = settings.load_settings(args.settings)
+    seq = euroc.load_euroc(args.sequence, args.timestamps)
+    n_frames = len(seq) if args.max_frames is None else min(
+        len(seq), args.max_frames)
+
+    voc = None
+    if args.vocabulary:
+        from orbslam3_byzyh_tpu.ops import bow
+        voc = bow.load_vocabulary(args.vocabulary)
+
+    cam = cfg_yaml.cam1
+    cfg = SlamConfig(
+        fx=float(cam.params[0]), fy=float(cam.params[1]),
+        cx=float(cam.params[2]), cy=float(cam.params[3]),
+        width=cam.width, height=cam.height,
+        dist=cam.dist,
+        n_features=cfg_yaml.orb.n_features,
+        fps=cfg_yaml.fps or 20.0,
+        vocabulary=voc,
+        use_loop_closing=not args.no_loop_closing)
+    slam = MonoSlam(cfg)
+    timers = StageTimers()
+
+    pf = ImagePrefetcher(seq.image_paths[:n_frames])
+    t_start = time.perf_counter()
+    for idx, img in pf:
+        with timers.time("total_track"):
+            slam.track(img, float(seq.stamps[idx]))
+    wall = time.perf_counter() - t_start
+    pf.close()
+
+    print(f"tracked {len(slam.trajectory)}/{n_frames} frames in {wall:.1f}s "
+          f"({n_frames / wall:.1f} fps); keyframes={slam.n_kf} "
+          f"landmarks={slam.n_lm}")
+    print(timers.report())
+
+    stamps = [s for s, _, _ in slam.trajectory]
+    Rs = [R for _, R, _ in slam.trajectory]
+    ts = [t for _, _, t in slam.trajectory]
+    trajectory.save_tum(f"f_{args.output_name}.txt", stamps, Rs, ts,
+                        stamp_scale=1e9)
+    ks, kR, kt = slam.keyframe_trajectory()
+    trajectory.save_tum(f"kf_{args.output_name}.txt", ks, kR, kt,
+                        stamp_scale=1e9)
+    timers.save("ExecTimeMean.txt")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""IO tests: settings, EuRoC reader, trajectory writer, checkpoint."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam3_byzyh_tpu.io import checkpoint, euroc, settings, trajectory
+from orbslam3_byzyh_tpu.models import atlas as atlas_mod, map_state as ms
+from orbslam3_byzyh_tpu.ops import lie
+from test_atlas import fill_map
+
+
+class TestSettings:
+    def test_euroc_mono_yaml(self):
+        s = settings.load_settings(
+            "/root/reference/Examples/Monocular/EuRoC.yaml")
+        assert s.cam1.model == "PinHole"
+        np.testing.assert_allclose(
+            s.cam1.params, [458.654, 457.296, 367.215, 248.375], rtol=1e-5)
+        assert s.cam1.dist is not None
+        assert s.orb.n_features == 1000
+        assert s.fps == 20.0
+
+    def test_tumvi_kb8_yaml(self):
+        s = settings.load_settings(
+            "/root/reference/Examples/Monocular-Inertial/TUM_512.yaml")
+        assert s.cam1.model == "KannalaBrandt8"
+        assert len(s.cam1.params) == 8
+        assert s.imu is not None
+        assert s.imu.frequency == 200.0
+        assert s.imu.Tbc.shape == (4, 4)
+
+
+class TestEurocReader:
+    @pytest.fixture
+    def seq_dir(self, tmp_path):
+        import cv2
+        d = tmp_path / "seq" / "mav0"
+        (d / "cam0" / "data").mkdir(parents=True)
+        (d / "imu0").mkdir(parents=True)
+        stamps = [1403636579763555584 + i * 50000000 for i in range(5)]
+        rows = ["#ts,filename"]
+        for s in stamps:
+            img = np.random.default_rng(s % 100).integers(
+                0, 255, (48, 64), dtype=np.uint8)
+            cv2.imwrite(str(d / "cam0" / "data" / f"{s}.png"), img)
+            rows.append(f"{s},{s}.png")
+        (d / "cam0" / "data.csv").write_text("\n".join(rows))
+        imu_rows = ["#ts,wx,wy,wz,ax,ay,az"]
+        for i in range(40):
+            ts = stamps[0] + i * 5000000
+            imu_rows.append(f"{ts},0.01,0.02,0.03,0.1,0.2,9.8")
+        (d / "imu0" / "data.csv").write_text("\n".join(imu_rows))
+        return str(tmp_path / "seq")
+
+    def test_load(self, seq_dir):
+        seq = euroc.load_euroc(seq_dir)
+        assert len(seq) == 5
+        img = seq.read_image(0)
+        assert img.shape == (48, 64)
+        assert seq.imu_stamps is not None
+        t, g, a = seq.imu_between(seq.stamps[0], seq.stamps[1])
+        assert len(t) == 10
+        assert g.shape == (10, 3)
+
+
+class TestTrajectoryIO:
+    def test_roundtrip(self, tmp_path, rng):
+        n = 10
+        xi = rng.uniform(-1, 1, (n, 6)).astype(np.float32)
+        R, t = lie.se3_exp(jnp.asarray(xi))
+        stamps = np.arange(n) * 0.05
+        path = str(tmp_path / "traj.txt")
+        trajectory.save_tum(path, stamps, np.asarray(R), np.asarray(t),
+                            stamp_scale=1e9)
+        ts, centers, quats = trajectory.load_tum(path)
+        np.testing.assert_allclose(ts / 1e9, stamps, atol=1e-6)
+        # Centers should equal -R^T t (Twc convention).
+        expected = -np.einsum("nji,nj->ni", np.asarray(R), np.asarray(t))
+        np.testing.assert_allclose(centers, expected, atol=1e-5)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path, rng):
+        at = atlas_mod.Atlas(16, 256, 4, 64)
+        fill_map(at, rng)
+        at.create_new_map()
+        fill_map(at, rng, n_kf=2, n_lm=5)
+        path = str(tmp_path / "atlas_ckpt")
+        checkpoint.save_atlas(path, at)
+        at2 = checkpoint.load_atlas(path)
+        assert len(at2.maps) == 2
+        assert at2.current == at.current
+        assert at2.counts().n_kf == at.counts().n_kf
+        for m1, m2 in zip(at.maps, at2.maps):
+            np.testing.assert_array_equal(np.asarray(m1.kfs.R),
+                                          np.asarray(m2.kfs.R))
+            np.testing.assert_array_equal(np.asarray(m1.lms.pos),
+                                          np.asarray(m2.lms.pos))
+            np.testing.assert_array_equal(np.asarray(m1.obs.kf),
+                                          np.asarray(m2.obs.kf))
+
+    def test_corruption_detected(self, tmp_path, rng):
+        at = atlas_mod.Atlas(16, 256, 4, 64)
+        fill_map(at, rng)
+        path = str(tmp_path / "atlas_ckpt")
+        checkpoint.save_atlas(path, at)
+        # Flip a byte.
+        f = os.path.join(path, "map_0.npz")
+        data = bytearray(open(f, "rb").read())
+        data[100] ^= 0xFF
+        open(f, "wb").write(bytes(data))
+        with pytest.raises(IOError):
+            checkpoint.load_atlas(path)
