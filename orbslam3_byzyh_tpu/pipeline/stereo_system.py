@@ -1,0 +1,187 @@
+"""Stereo and RGB-D SLAM system variants.
+
+Replaces the stereo/RGB-D paths of the reference pipeline:
+``System::TrackStereo/TrackRGBD`` (System.h:113-121),
+``Tracking::StereoInitialization`` (:3438 — the map starts from ONE frame
+using metric depths), the depth-based landmark creation in
+``CreateNewKeyFrame`` (:4589 stereo branch), and the RGB-D pseudo-stereo
+conversion (Frame::ComputeStereoFromRGBD :1361).
+
+Both variants reuse the monocular tracking core (projection matching +
+motion-only pose optimization); metric depth enters through landmark
+creation, which also removes the monocular scale ambiguity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import map_state as ms
+from ..ops import stereo as stereo_ops
+from . import system as base
+
+
+@dataclasses.dataclass
+class StereoConfig(base.SlamConfig):
+    bf: float = 40.0            # baseline * fx (Camera.bf)
+    th_depth: float = 35.0      # close/far threshold factor (Camera.ThDepth)
+    min_z: float = 0.3
+
+    @property
+    def depth_threshold(self):
+        """Close-point gate: bf/fx * ThDepth (Tracking ctor behaviour)."""
+        return self.bf / self.fx * self.th_depth
+
+
+class StereoSlam(base.MonoSlam):
+    """Stereo SLAM engine (System::TrackStereo equivalent)."""
+
+    def __init__(self, config: StereoConfig):
+        super().__init__(config)
+        self._depth = None          # (N,) per-keypoint depth of current frame
+
+    # ------------------------------------------------------------------
+    def track(self, img_left: np.ndarray, img_right: np.ndarray,
+              stamp: float):
+        feats = self._extract(img_left)
+        feats_r = self._extract(img_right)
+        m = stereo_ops.stereo_match(
+            feats.xy, feats.level, feats.desc, feats.valid,
+            feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
+            jnp.asarray(img_left, jnp.float32),
+            jnp.asarray(img_right, jnp.float32),
+            jnp.asarray(self.cfg.bf, jnp.float32), self.cfg.min_z)
+        self._depth = jnp.where(m.valid, m.depth, -1.0)
+        return self._track_with_depth(feats, stamp)
+
+    # ------------------------------------------------------------------
+    def _track_with_depth(self, feats, stamp):
+        if self.status == base.NOT_INITIALIZED:
+            pose = self._stereo_initialize(feats, stamp)
+        else:
+            pose = self._track_frame(feats, stamp)
+        if pose is not None:
+            self.trajectory.append((stamp, np.asarray(pose[0]),
+                                    np.asarray(pose[1])))
+        return pose
+
+    # ------------------------------------------------------------------
+    def _stereo_initialize(self, feats, stamp):
+        """One-frame metric initialization (StereoInitialization :3438):
+        needs >= 500 valid depth points."""
+        depth = np.asarray(self._depth)
+        good = (depth > 0) & np.asarray(feats.valid)
+        if good.sum() < 300:
+            return None
+
+        self.state = ms.add_keyframe(self.state, 0, jnp.eye(3),
+                                     jnp.zeros(3), stamp, feats)
+        self.n_kf = 1
+        n_new = self._create_depth_landmarks(0, feats, jnp.asarray(good))
+        if n_new < 100:
+            self.atlas.reset_active_map()
+            return None
+
+        seen, kp_of = ms.landmarks_seen_by(self.state, 0)
+        bindings = jnp.full((self.cfg.n_features,), -1, jnp.int32)
+        lm_ids = jnp.arange(self.cfg.max_lm)
+        tgt = jnp.where(seen, kp_of, self.cfg.n_features)
+        bindings = bindings.at[tgt].set(
+            jnp.where(seen, lm_ids, -1), mode="drop")
+
+        self._last = dict(feats=feats, bindings=bindings,
+                          R=jnp.eye(3), t=jnp.zeros(3), stamp=stamp)
+        self._vel = None
+        self.status = base.OK
+        self.last_kf_id = 0
+        self.frames_since_kf = 0
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(self.state, 0)
+        return (jnp.eye(3), jnp.zeros(3))
+
+    # ------------------------------------------------------------------
+    def _create_depth_landmarks(self, kf_id: int, feats, mask) -> int:
+        """Back-project keypoints with valid depth into world landmarks."""
+        depth = self._depth
+        mask = mask & (depth > 0) & feats.valid
+        n_new = int(np.asarray(mask).sum())
+        if n_new == 0:
+            return 0
+        room = self.cfg.max_lm - self.n_lm
+        if n_new > room:
+            n_new = room
+            if n_new <= 0:
+                return 0
+        fx, fy, cx, cy = (self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy)
+        x = (feats.xy[:, 0] - cx) / fx * depth
+        y = (feats.xy[:, 1] - cy) / fy * depth
+        pc = jnp.stack([x, y, depth], -1)
+        R = self.state.kfs.R[kf_id]
+        t = self.state.kfs.t[kf_id]
+        pw = (pc - t) @ R          # R^T (pc - t)
+        cam_center = -jnp.einsum("ji,j->i", R, t)
+        ray = pw - cam_center
+        dist = jnp.linalg.norm(ray, axis=-1)
+        normal = ray / jnp.maximum(dist, 1e-9)[:, None]
+        level_f = feats.level.astype(jnp.float32)
+        max_dist = dist * 1.2 ** level_f
+        min_dist = max_dist / 1.2 ** 7
+
+        order = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        slots = self.n_lm + order
+        write = mask & (order < n_new)
+        kp_idx = jnp.arange(self.cfg.n_features, dtype=jnp.int32)
+        self.state = ms.add_landmarks(
+            self.state, slots, pw, feats.desc,
+            kf_id, kp_idx, kf_id, kp_idx,
+            write, normal, min_dist, max_dist)
+        self.n_lm += n_new
+
+        # Bind them into the live tracking context if present.
+        if self._last is not None:
+            lm_ids = jnp.where(write, slots, -1)
+            tgt = jnp.where(write, kp_idx, self.cfg.n_features)
+            self._last["bindings"] = self._last["bindings"].at[tgt].set(
+                lm_ids, mode="drop")
+        return n_new
+
+    # ------------------------------------------------------------------
+    def _create_keyframe(self, feats, track_res, stamp):
+        super()._create_keyframe(feats, track_res, stamp)
+        # Stereo branch of CreateNewKeyFrame (:4620-4700): create landmarks
+        # for close-depth keypoints that are still unbound.
+        kf_id = self.last_kf_id
+        seen, kp_of = ms.landmarks_seen_by(self.state, kf_id)
+        bound = jnp.zeros((self.cfg.n_features,), bool).at[
+            jnp.where(seen, kp_of, self.cfg.n_features)].set(True, mode="drop")
+        close = self._depth < self.cfg.depth_threshold
+        self._create_depth_landmarks(kf_id, feats, ~bound & close)
+
+
+@dataclasses.dataclass
+class RgbdConfig(StereoConfig):
+    depth_scale: float = 1.0    # DepthMapFactor
+
+
+class RgbdSlam(StereoSlam):
+    """RGB-D SLAM engine (System::TrackRGBD equivalent).
+
+    Depth comes from the depth image sampled at keypoint locations
+    (ComputeStereoFromRGBD :1361 — the reference also synthesizes a virtual
+    right coordinate, which only feeds the stereo residual we don't use).
+    """
+
+    def track(self, img: np.ndarray, depth_img: np.ndarray, stamp: float):
+        feats = self._extract(img)
+        d = jnp.asarray(depth_img, jnp.float32) / self.cfg.depth_scale
+        h, w = depth_img.shape
+        ix = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0, w - 1)
+        iy = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0, h - 1)
+        depth = d.reshape(-1)[iy * w + ix]
+        self._depth = jnp.where((depth > self.cfg.min_z) & feats.valid,
+                                depth, -1.0)
+        return self._track_with_depth(feats, stamp)
