@@ -38,7 +38,9 @@ class Vocabulary(NamedTuple):
 
 def _hamming(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(..., 8) x (..., 8) -> (...) int32 popcount distance."""
-    return jax.lax.population_count(a ^ b).sum(-1).astype(jnp.int32)
+    a = jax.lax.bitcast_convert_type(a, jnp.int32)
+    b = jax.lax.bitcast_convert_type(b, jnp.int32)
+    return jax.lax.population_count(a ^ b).sum(-1)
 
 
 # ---------------------------------------------------------------------------

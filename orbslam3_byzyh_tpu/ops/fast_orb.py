@@ -137,12 +137,35 @@ def level_feature_budget(n_features: int, n_levels: int, scale: float):
     return budget
 
 
+def _resize_linear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize with host-precomputed indices/weights.
+
+    ``jax.image.resize`` lowers to ops that compile very slowly on the TPU
+    toolchain; two axis-wise lerps with static gather indices compile in <1 s
+    and match cv::resize(INTER_LINEAR) pixel-center semantics.
+    """
+    in_h, in_w = img.shape
+
+    def plan(n_in, n_out):
+        src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        i0 = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
+        i1 = np.clip(i0 + 1, 0, n_in - 1)
+        w1 = np.clip(src - i0, 0.0, 1.0).astype(np.float32)
+        return (jnp.asarray(i0), jnp.asarray(i1),
+                jnp.asarray(w1))
+
+    r0, r1, rw = plan(in_h, out_h)
+    x = img[r0, :] * (1.0 - rw)[:, None] + img[r1, :] * rw[:, None]
+    c0, c1, cw = plan(in_w, out_w)
+    return x[:, c0] * (1.0 - cw)[None, :] + x[:, c1] * cw[None, :]
+
+
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale: float):
     """img: (H, W) float32. Chain-resize like ComputePyramid (:1687)."""
     sizes = level_sizes(img.shape[0], img.shape[1], n_levels, scale)
     levels = [img]
     for lv in range(1, n_levels):
-        levels.append(jax.image.resize(levels[-1], sizes[lv], method="linear"))
+        levels.append(_resize_linear(levels[-1], *sizes[lv]))
     return levels
 
 
@@ -243,17 +266,24 @@ def select_keypoints(score: jnp.ndarray, capacity: int, k_per_tile: int = 8):
 
 
 def _sep_conv2d(img: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
-    """Separable 2D convolution with edge padding (Gaussian blur)."""
-    r = k1d.shape[0] // 2
+    """Separable 2D convolution with edge padding (Gaussian blur).
+
+    Implemented as shifted elementwise adds instead of conv ops: small-tap
+    convolutions compile ~10 s each on the TPU toolchain while slice+add
+    chains compile in <1 s and fuse into one VPU pass.
+    """
+    taps = np.asarray(k1d)
+    r = len(taps) // 2
+    h, w = img.shape
     x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k1d.reshape(1, 1, -1, 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k1d.reshape(1, 1, 1, -1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    return x
+    acc = jnp.zeros_like(img)
+    for i, kv in enumerate(taps):
+        acc = acc + float(kv) * jax.lax.dynamic_slice(x, (i, 0), (h, w))
+    x = jnp.pad(acc, ((0, 0), (r, r)), mode="edge")
+    acc = jnp.zeros_like(img)
+    for i, kv in enumerate(taps):
+        acc = acc + float(kv) * jax.lax.dynamic_slice(x, (0, i), (h, w))
+    return acc
 
 
 def _conv2d_full(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
@@ -334,10 +364,20 @@ def compute_descriptors(blurred: jnp.ndarray, xy: jnp.ndarray,
 
     va = sample(ax, ay)
     vb = sample(bx, by)
-    bits = (va < vb).astype(jnp.uint32)            # (K, 256)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    words = (bits.reshape(-1, 8, 32) * weights[None, None, :]).sum(-1, dtype=jnp.uint32)
-    return words  # (K, 8)
+    bits = (va < vb).astype(jnp.float32)           # (K, 256)
+    # Bit packing via unrolled elementwise adds: the natural
+    # multiply-by-powers-reduce formulation compiles pathologically slowly
+    # (minutes) on the TPU toolchain for tiny reduction axes; strided
+    # elementwise adds compile in <1 s and run on the VPU.
+    k = bits.shape[0]
+    byte_vals = jnp.zeros((k, 32), jnp.float32)
+    for j in range(8):
+        byte_vals = byte_vals + bits[:, j::8] * float(2 ** j)
+    b4 = byte_vals.astype(jnp.int32).reshape(k, 8, 4)
+    # int32 wrap-around preserves bits (two's complement); bitcast at the end.
+    words = (b4[..., 0] + b4[..., 1] * 256 + b4[..., 2] * 65536
+             + b4[..., 3] * 16777216)
+    return jax.lax.bitcast_convert_type(words, jnp.uint32)  # (K, 8)
 
 
 @functools.partial(jax.jit, static_argnames=("n_features", "n_levels", "scale"))
@@ -369,7 +409,7 @@ def extract(img: jnp.ndarray, n_features: int = 1024, n_levels: int = 8,
         flat = iy * w + ix
         angle = jnp.arctan2(m01.reshape(-1)[flat], m10.reshape(-1)[flat])
 
-        blurred = _sep_conv2d(lvl_img, jnp.asarray(_GAUSS1D))
+        blurred = _sep_conv2d(lvl_img, _GAUSS1D)
         desc = compute_descriptors(blurred, xy, angle)
 
         s = scale ** lv

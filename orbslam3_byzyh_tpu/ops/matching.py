@@ -28,13 +28,17 @@ def hamming_matrix(da: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
     """(N, 8) x (M, 8) uint32 -> (N, M) int32 Hamming distances.
 
     Word-by-word accumulation so XLA fuses per-word (N, M) popcounts instead
-    of materialising an (N, M, 8) cube.
+    of materialising an (N, M, 8) cube. Words are bitcast to int32 first:
+    signed lane ops compile fast on the TPU toolchain while several unsigned
+    ops take minutes (xor/popcount are bit-pattern ops, so the cast is free).
     """
+    da = jax.lax.bitcast_convert_type(da, jnp.int32)
+    db = jax.lax.bitcast_convert_type(db, jnp.int32)
     n, m = da.shape[0], db.shape[0]
     dist = jnp.zeros((n, m), jnp.int32)
     for k in range(da.shape[1]):
         x = da[:, None, k] ^ db[None, :, k]
-        dist = dist + jax.lax.population_count(x).astype(jnp.int32)
+        dist = dist + jax.lax.population_count(x)
     return dist
 
 
