@@ -65,15 +65,15 @@ def ratio_test(best, second, ratio: float):
     return best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
 
 
-def mutual_filter(dist: jnp.ndarray, best_j: jnp.ndarray, accept: jnp.ndarray):
+def mutual_filter_from_best(best, best_j, accept, m: int):
     """Resolve target conflicts: each column keeps only its best row.
 
     Mirrors the reference's "already matched" bookkeeping (e.g.
     SearchForInitialization's vnMatches21, ORBmatcher.cc:735): when two
     queries pick the same target, the smaller distance wins.
     """
-    n, m = dist.shape
-    best_d = jnp.where(accept, dist[jnp.arange(n), best_j], INVALID_DIST)
+    n = best.shape[0]
+    best_d = jnp.where(accept, best, INVALID_DIST)
     # Per-column minimum over the rows that chose that column.
     col_min = jnp.full((m,), INVALID_DIST, jnp.int32).at[best_j].min(
         best_d.astype(jnp.int32))
@@ -83,6 +83,12 @@ def mutual_filter(dist: jnp.ndarray, best_j: jnp.ndarray, accept: jnp.ndarray):
         jnp.where(keep, jnp.arange(n), n))
     keep = keep & (first_row[best_j] == jnp.arange(n))
     return keep
+
+
+def mutual_filter(dist: jnp.ndarray, best_j: jnp.ndarray, accept: jnp.ndarray):
+    n = dist.shape[0]
+    return mutual_filter_from_best(dist[jnp.arange(n), best_j], best_j,
+                                   accept, dist.shape[1])
 
 
 def rotation_consistency(angle_a, angle_b, best_j, accept,
@@ -113,6 +119,12 @@ def match(da, db, valid_a, valid_b, pair_mask=None, max_dist: int = TH_LOW,
     ``angles`` is an optional (angle_a, angle_b) tuple enabling the rotation
     histogram gate.
     """
+    from . import pallas_match
+    if pair_mask is None and angles is None and pallas_match.tpu_available():
+        best, second, best_j = pallas_match.hamming_best2(
+            da, db, valid_a, valid_b)
+        return _finish_match(best, second, best_j, db.shape[0],
+                             max_dist, ratio, mutual)
     dist = masked_hamming(da, db, valid_a, valid_b, pair_mask)
     best, second, best_j = best_two(dist)
     accept = best <= max_dist
@@ -128,6 +140,25 @@ def match(da, db, valid_a, valid_b, pair_mask=None, max_dist: int = TH_LOW,
 # ---------------------------------------------------------------------------
 # Geometry-guided candidate masks
 # ---------------------------------------------------------------------------
+
+def match_window(da, db, valid_a, valid_b, xy_a, xy_b, radius,
+                 level_a, level_b, level_window=(-8, 8),
+                 max_dist: int = TH_LOW, ratio: float = 0.9,
+                 mutual: bool = True):
+    """Window-gated match (SearchForInitialization-style, ORBmatcher.cc:735),
+    fused on TPU."""
+    from . import pallas_match
+    if pallas_match.tpu_available():
+        best, second, best_j = pallas_match.hamming_best2(
+            da, db, valid_a, valid_b, xy_a=xy_a, xy_b=xy_b, radius=radius,
+            level_a=level_a, level_b=level_b, level_window=level_window)
+        return _finish_match(best, second, best_j, db.shape[0],
+                             max_dist, ratio, mutual)
+    pm = window_mask(xy_a, xy_b, radius) \
+        & level_mask(level_a, level_b, *level_window)
+    return match(da, db, valid_a, valid_b, pair_mask=pm, max_dist=max_dist,
+                 ratio=ratio, mutual=mutual)
+
 
 def window_mask(xy_a, xy_b, radius):
     """Candidate pairs within a pixel window. radius: scalar or (N,)."""
@@ -191,6 +222,17 @@ def frustum_cull(R, t, pos, normal, min_dist, max_dist, cam_params,
     return ok, jnp.stack([u, v], -1), dist, level
 
 
+def _finish_match(best, second, best_j, m, max_dist, ratio, mutual):
+    """Shared accept/gate chain after a top-2 reduction."""
+    accept = best <= max_dist
+    if ratio is not None:
+        accept = accept & ratio_test(best, second, ratio)
+    if mutual:
+        accept = mutual_filter_from_best(best, best_j, accept, m)
+    return (jnp.where(accept, best_j, -1),
+            jnp.where(accept, best, INVALID_DIST))
+
+
 def search_by_projection(proj_xy, pred_level, lm_desc, lm_valid,
                          kp_xy, kp_level, kp_desc, kp_valid,
                          radius, max_dist: int = TH_HIGH, ratio: float = 0.9,
@@ -202,7 +244,38 @@ def search_by_projection(proj_xy, pred_level, lm_desc, lm_valid,
     level, candidate keypoints restricted to a level window.
     Returns (match_j, dist) per landmark.
     """
+    from . import pallas_match
+    if pallas_match.tpu_available():
+        best, second, best_j = pallas_match.hamming_best2(
+            lm_desc, kp_desc, lm_valid, kp_valid,
+            xy_a=proj_xy, xy_b=kp_xy, radius=radius,
+            level_a=pred_level, level_b=kp_level, level_window=level_window)
+        return _finish_match(best, second, best_j, kp_xy.shape[0],
+                             max_dist, ratio, mutual=True)
     pm = window_mask(proj_xy, kp_xy, radius)
     pm = pm & level_mask(pred_level, kp_level, *level_window)
     return match(lm_desc, kp_desc, lm_valid, kp_valid, pair_mask=pm,
+                 max_dist=max_dist, ratio=ratio, mutual=True)
+
+
+def search_epipolar(lines_a, desc_a, valid_a, kp_xy, kp_level, desc_b,
+                    valid_b, sigma2_levels, max_dist: int = TH_LOW,
+                    ratio: float = 0.8):
+    """Epipolar-gated match for triangulation (SearchForTriangulation,
+    ORBmatcher.cc:1046): rows carry their epipolar line in image b; gate is
+    squared point-line distance < 3.84 * sigma2(level_b)."""
+    from . import pallas_match
+    th_b = 3.84 * sigma2_levels[kp_level]
+    if pallas_match.tpu_available():
+        best, second, best_j = pallas_match.hamming_best2(
+            desc_a, desc_b, valid_a, valid_b,
+            xy_b=kp_xy, lines=lines_a, line_th=th_b)
+        return _finish_match(best, second, best_j, kp_xy.shape[0],
+                             max_dist, ratio, mutual=True)
+    num = (lines_a[:, None, 0] * kp_xy[None, :, 0]
+           + lines_a[:, None, 1] * kp_xy[None, :, 1]
+           + lines_a[:, None, 2]) ** 2
+    den = jnp.maximum(lines_a[:, 0] ** 2 + lines_a[:, 1] ** 2, 1e-12)[:, None]
+    pm = (num / den) < th_b[None, :]
+    return match(desc_a, desc_b, valid_a, valid_b, pair_mask=pm,
                  max_dist=max_dist, ratio=ratio, mutual=True)

@@ -147,9 +147,9 @@ def match_for_initialization(ref_xy, ref_desc, ref_valid, ref_level,
                              radius: float = 100.0):
     """SearchForInitialization (ORBmatcher.cc:735): window search, level 0
     only, ratio 0.9, mutual."""
-    pm = matching.window_mask(ref_xy, cur_xy, radius)
-    pm = pm & (ref_level[:, None] == 0) & (cur_level[None, :] == 0)
-    mj, md = matching.match(ref_desc, cur_desc, ref_valid, cur_valid,
-                            pair_mask=pm, max_dist=matching.TH_LOW,
-                            ratio=0.9, mutual=True)
+    mj, md = matching.match_window(
+        ref_desc, cur_desc, ref_valid & (ref_level == 0),
+        cur_valid & (cur_level == 0), ref_xy, cur_xy, radius,
+        ref_level, cur_level, level_window=(-8, 8),
+        max_dist=matching.TH_LOW, ratio=0.9, mutual=True)
     return mj
