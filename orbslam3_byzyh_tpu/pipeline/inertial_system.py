@@ -1,0 +1,628 @@
+"""Monocular visual-inertial SLAM system.
+
+Replaces the inertial paths of the reference:
+  * ``Tracking::PreintegrateIMU`` (/root/reference/src/Tracking.cc:1811) —
+    per-frame midpoint preintegration with boundary splitting
+  * ``Tracking::PredictStateIMU`` (:1964) — IMU dead-reckoned pose prediction
+  * the inertial keyframe policy (insert every >=0.25 s before IMU init,
+    :4393-4397)
+  * ``LocalMapping::InitializeIMU`` (/root/reference/src/LocalMapping.cc:1516)
+    — gravity/scale/bias MAP estimation + map rebase (ApplyScaledRotation)
+  * the VIBA1/VIBA2 refinement schedule (:260-294) with the bias-prior
+    ladder (1e2,1e10) -> (1,1e5) -> (0,0)
+  * ``Optimizer::LocalInertialBA`` dispatch (:199) — temporal-window
+    visual-inertial BA after every keyframe
+
+TPU-first design: all solver work happens in fixed-capacity jitted kernels
+(`solver/inertial.py`, `solver/inertial_ba.py`); this module is the host
+orchestration that owns the IMU sample buffer, the keyframe temporal chain,
+and the init/VIBA schedule. Body-frame states (R_wb, p_w, v_w) with camera
+extrinsics Tbc, like the reference's ``ImuCamPose`` (G2oTypes.h:133).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import map_state as ms
+from ..ops import imu, lie
+from ..solver import inertial, inertial_ba
+from . import tracking
+from .system import (LOST, NOT_INITIALIZED, OK, RECENTLY_LOST, MonoSlam,
+                     SlamConfig)
+
+# Fixed preintegration step capacities (static shapes for jit).
+FRAME_STEPS = 32      # samples per camera frame (200 Hz IMU / 20 fps = ~10)
+KF_STEPS = 512        # samples per keyframe interval (<= ~2.5 s)
+
+
+@dataclasses.dataclass
+class ImuConfig:
+    """IMU calibration (the reference's IMU::Calib, ImuTypes.h:198).
+
+    T_bc: 4x4 body<-camera extrinsics (yaml key ``IMU.T_b_c1``).
+    Noise densities are continuous-time (EuRoC defaults); per-step discrete
+    covariance scales by the sample rate (Settings.cc multiplies by
+    sqrt(freq) at load).
+    """
+    T_bc: np.ndarray
+    gyro_noise: float = 1.7e-4
+    acc_noise: float = 2.0e-3
+    gyro_walk: float = 1.9e-5
+    acc_walk: float = 3.0e-3
+    freq: float = 200.0
+
+    def noise_cov(self) -> np.ndarray:
+        d = np.array([self.gyro_noise ** 2 * self.freq] * 3
+                     + [self.acc_noise ** 2 * self.freq] * 3, np.float32)
+        return np.diag(d)
+
+    def walk_cov(self) -> np.ndarray:
+        d = np.array([self.gyro_walk ** 2 / self.freq] * 3
+                     + [self.acc_walk ** 2 / self.freq] * 3, np.float32)
+        return np.diag(d)
+
+
+class ImuBuffer:
+    """Append-only IMU sample store with O(log n) window queries."""
+
+    def __init__(self, capacity: int = 4096):
+        self.n = 0
+        self.t = np.zeros(capacity, np.float64)
+        self.gyr = np.zeros((capacity, 3), np.float32)
+        self.acc = np.zeros((capacity, 3), np.float32)
+
+    def append(self, t, gyr, acc):
+        t = np.atleast_1d(np.asarray(t, np.float64))
+        gyr = np.atleast_2d(np.asarray(gyr, np.float32))
+        acc = np.atleast_2d(np.asarray(acc, np.float32))
+        m = len(t)
+        while self.n + m > len(self.t):
+            self.t = np.concatenate([self.t, np.zeros_like(self.t)])
+            self.gyr = np.concatenate([self.gyr, np.zeros_like(self.gyr)])
+            self.acc = np.concatenate([self.acc, np.zeros_like(self.acc)])
+        self.t[self.n:self.n + m] = t
+        self.gyr[self.n:self.n + m] = gyr
+        self.acc[self.n:self.n + m] = acc
+        self.n += m
+
+    def window(self, t0: float, t1: float):
+        lo = np.searchsorted(self.t[:self.n], t0, "right")
+        hi = np.searchsorted(self.t[:self.n], t1, "right")
+        return (self.t[lo:hi], self.gyr[lo:hi], self.acc[lo:hi])
+
+
+def make_steps(ts, gyr, acc, t0: float, t1: float, n_pad: int):
+    """Midpoint integration steps over (t0, t1] with boundary splitting
+    (Tracking::PreintegrateIMU bookkeeping, Tracking.cc:1893-1910), padded
+    to ``n_pad`` (dt == 0 rows are no-ops in the scan)."""
+    m = len(ts)
+    if m == 0:
+        dts = np.array([t1 - t0], np.float32)
+        g = gyr[:1] if len(gyr) else np.zeros((1, 3), np.float32)
+        a = acc[:1] if len(acc) else np.zeros((1, 3), np.float32)
+    else:
+        times = np.concatenate([[t0], ts, [t1]])
+        dts = np.diff(times).astype(np.float32)
+        g = np.concatenate([gyr[:1], 0.5 * (gyr[:-1] + gyr[1:]), gyr[-1:]])
+        a = np.concatenate([acc[:1], 0.5 * (acc[:-1] + acc[1:]), acc[-1:]])
+    k = len(dts)
+    if k > n_pad:  # subsample coarsely (should not happen at nominal rates)
+        idx = np.linspace(0, k - 1, n_pad).round().astype(int)
+        scale = dts.sum() / max(dts[idx].sum(), 1e-9)
+        dts, g, a = dts[idx] * scale, g[idx], a[idx]
+        k = n_pad
+    pad = n_pad - k
+    dts = np.pad(dts, (0, pad))
+    g = np.pad(g.astype(np.float32), ((0, pad), (0, 0)))
+    a = np.pad(a.astype(np.float32), ((0, pad), (0, 0)))
+    return a, g, dts
+
+
+def body_from_cam(R_cw, t_cw, R_bc, t_bc):
+    """(R_wb, p_w) from a world->cam pose and body<-cam extrinsics."""
+    R_bw = R_bc @ R_cw
+    t_bw = R_bc @ t_cw + t_bc
+    return R_bw.T, -(R_bw.T @ t_bw)
+
+
+def cam_from_body(R_wb, p_w, R_cb, t_cb):
+    R_cw = R_cb @ R_wb.T
+    t_cw = t_cb - R_cw @ p_w
+    return R_cw, t_cw
+
+
+class MonoInertialSlam(MonoSlam):
+    """Monocular-inertial SLAM (System::TrackMonocular + IMU equivalent)."""
+
+    def __init__(self, config: SlamConfig, imu_cfg: ImuConfig,
+                 viba_window: int = 24, viba_free: int = 10,
+                 viba_landmarks: int = 4096, full_viba_kf: int = 64):
+        super().__init__(config)
+        self.imu_cfg = imu_cfg
+        T = np.asarray(imu_cfg.T_bc, np.float32)
+        self.R_bc = T[:3, :3]
+        self.t_bc = T[:3, 3]
+        self.R_cb = self.R_bc.T.copy()
+        self.t_cb = (-self.R_bc.T @ self.t_bc).astype(np.float32)
+        self.noise_cov = jnp.asarray(imu_cfg.noise_cov())
+        self.walk_cov_step = jnp.asarray(imu_cfg.walk_cov())
+        self.walk_var = np.array(
+            [imu_cfg.gyro_walk ** 2] * 3 + [imu_cfg.acc_walk ** 2] * 3,
+            np.float32)
+        self.W = viba_window
+        self.W_free = viba_free
+        self.L_slots = viba_landmarks
+        self.full_viba_kf = full_viba_kf
+
+        # Sensor-dependent init gates/priors (LocalMapping.cc:236-293):
+        # mono (priorG, priorA) = (1e2, 1e10), minTime 2 s; stereo overrides
+        # to (1e2, 1e5), 1 s.
+        self.imu_init_prior = (1e2, 1e10)
+        self.imu_init_min_time = 2.0
+        self.imu_init_min_kf = 10
+        self.imu_fix_scale = False     # stereo fixes scale (Optimizer.cc:3778)
+
+        self.buf = ImuBuffer()
+        # Per-KF inertial state (parallel to MapState keyframe slots).
+        mk = config.max_kf
+        self.kf_vel = np.zeros((mk, 3), np.float32)
+        self.kf_bg = np.zeros((mk, 3), np.float32)
+        self.kf_ba = np.zeros((mk, 3), np.float32)
+        self.kf_prev = np.full(mk, -1, np.int32)   # temporal chain
+        self.kf_preint = [None] * mk               # preint prev->this
+        self.imu_ready = False
+        self.viba_stage = 0                        # 0 init, 1 VIBA1, 2 VIBA2
+        self.map_first_kf = 0
+        # Last-frame body state (valid once imu_ready).
+        self._body = None           # (R_wb, p_w, v_w)
+        self._bias = np.zeros(6, np.float32)
+        self._last_stamp = None
+
+    # ------------------------------------------------------------------
+    def _preintegrate(self, t0: float, t1: float, bias, n_pad: int):
+        ts, g, a = self.buf.window(t0, t1)
+        acc, gyr, dts = make_steps(ts, g, a, t0, t1, n_pad)
+        return imu.integrate(jnp.asarray(acc), jnp.asarray(gyr),
+                             jnp.asarray(dts), jnp.asarray(bias),
+                             self.noise_cov, self.walk_cov_step)
+
+    def _walk_info(self, dt: float) -> jnp.ndarray:
+        return jnp.asarray(1.0 / (self.walk_var * max(dt, 1e-3)))
+
+    # ------------------------------------------------------------------
+    def track(self, img: np.ndarray, stamp: float, imu_data=None):
+        """Process one frame + its IMU batch (samples in (t_prev, t])."""
+        stamp = self._rel_stamp(stamp)
+        if imu_data is not None and len(imu_data[0]) > 0:
+            self.buf.append(np.asarray(imu_data[0], np.float64) - self.t0,
+                            imu_data[1], imu_data[2])
+        self._cur_stamp = stamp
+
+        feats = self._extract(img)
+        if self.status == NOT_INITIALIZED:
+            pose = self._try_initialize(feats, stamp)
+            if pose is not None:
+                self._on_map_created(stamp)
+        elif self.imu_ready:
+            pose = self._track_inertial(feats, stamp)
+        else:
+            pose = self._track_frame(feats, stamp)
+
+        self._last_stamp = stamp
+        if pose is not None:
+            self.trajectory.append((stamp, np.asarray(pose[0]),
+                                    np.asarray(pose[1])))
+        return pose
+
+    # ------------------------------------------------------------------
+    def _on_map_created(self, stamp: float):
+        """Initial 2-KF map exists: seed the temporal chain + preint."""
+        self.map_first_kf = 0
+        self.kf_prev[1] = 0
+        self.kf_preint[1] = self._preintegrate(
+            float(self._trajectory_kf_stamp(0)), stamp,
+            np.zeros(6, np.float32), KF_STEPS)
+
+    def _trajectory_kf_stamp(self, kf_id: int) -> float:
+        return float(np.asarray(self.state.kfs.stamp[kf_id]))
+
+    # ------------------------------------------------------------------
+    # Keyframe creation: add inertial bookkeeping around the parent's work.
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, n_inliers: int) -> bool:
+        if not self.imu_ready and self.n_kf >= 1 and self.last_kf_id >= 0:
+            # Pre-init inertial policy: the 0.25 s cadence is the ONLY rule
+            # (Tracking.cc:4393-4400 returns early in both branches) —
+            # denser keyframes would make per-edge accelerometer excitation
+            # comparable to visual pose noise and scale unobservable.
+            dt = self._cur_stamp - self._trajectory_kf_stamp(self.last_kf_id)
+            return dt >= 0.25 and self.n_kf < self.cfg.max_kf - 1
+        return super()._need_new_keyframe(n_inliers)
+
+    def _create_keyframe(self, feats, track_res, stamp):
+        prev = self.last_kf_id
+        kf_id = self.n_kf
+        # Inertial bookkeeping FIRST: the local refine inside the parent's
+        # keyframe work consumes this KF's preintegration + velocity.
+        self.kf_prev[kf_id] = prev
+        if prev >= 0:
+            self.kf_preint[kf_id] = self._preintegrate(
+                self._trajectory_kf_stamp(prev), stamp,
+                self._bias, KF_STEPS)
+        if self.imu_ready:
+            self.kf_vel[kf_id] = (np.asarray(self._body[2])
+                                  if self._body is not None else 0.0)
+            self.kf_bg[kf_id] = self._bias[:3]
+            self.kf_ba[kf_id] = self._bias[3:]
+        super()._create_keyframe(feats, track_res, stamp)
+        self._imu_schedule(kf_id, stamp)
+
+    def _local_refine(self, kf_id: int, counts, order):
+        if not self.imu_ready:
+            return super()._local_refine(kf_id, counts, order)
+        self._local_inertial_ba(kf_id)
+
+    def _maybe_cull_keyframes(self, kf_id: int):
+        # Culling a temporal-chain KF needs preintegration merging
+        # (ImuTypes.cc:330) — not implemented; keep the chain intact.
+        return
+
+    # ------------------------------------------------------------------
+    # IMU initialization + VIBA schedule (LocalMapping.cc:236-294)
+    # ------------------------------------------------------------------
+    def _imu_schedule(self, kf_id: int, stamp: float):
+        t0 = self._trajectory_kf_stamp(self.map_first_kf)
+        span = stamp - t0
+        if not self.imu_ready:
+            if (self._chain_length(kf_id) >= self.imu_init_min_kf
+                    and span >= self.imu_init_min_time):
+                self._initialize_imu(kf_id)
+            return
+        if self.viba_stage == 1 and span > 5.0:
+            self._full_inertial_ba(kf_id, prior_g=1.0, prior_a=1e5)
+            self.viba_stage = 2
+        elif self.viba_stage == 2 and span > 15.0:
+            self._full_inertial_ba(kf_id, prior_g=0.0, prior_a=0.0)
+            self.viba_stage = 3
+
+    def _chain(self, kf_id: int, max_len: int = 100000):
+        ids = []
+        k = kf_id
+        while k >= 0 and len(ids) < max_len:
+            ids.append(k)
+            k = int(self.kf_prev[k])
+        return ids[::-1]
+
+    def _chain_length(self, kf_id: int) -> int:
+        return len(self._chain(kf_id))
+
+    def _initialize_imu(self, kf_id: int):
+        """InitializeIMU (LocalMapping.cc:1516): inertial-only MAP for
+        gravity/scale/bias/velocities, then map rebase + full VI-BA."""
+        ids = self._chain(kf_id)
+        if any(self.kf_preint[k] is None for k in ids[1:]):
+            return
+        kfs = self.state.kfs
+        R_np = np.asarray(kfs.R)
+        t_np = np.asarray(kfs.t)
+        R_wb = np.zeros((len(ids), 3, 3), np.float32)
+        p_w = np.zeros((len(ids), 3), np.float32)
+        for i, k in enumerate(ids):
+            R_wb[i], p_w[i] = body_from_cam(R_np[k], t_np[k],
+                                            self.R_bc, self.t_bc)
+        preints = inertial._stack_preints([self.kf_preint[k]
+                                           for k in ids[1:]])
+        res = inertial.inertial_only_optimization(
+            jnp.asarray(R_wb), jnp.asarray(p_w), preints,
+            prior_g=self.imu_init_prior[0], prior_a=self.imu_init_prior[1],
+            fix_scale=self.imu_fix_scale)
+        scale = float(res.scale)
+        if not np.isfinite(scale) or scale < 1e-1:
+            return
+
+        # --- ApplyScaledRotation (Map.h:118): gravity-align + rescale. ---
+        R_gw = np.asarray(res.R_wg).T.astype(np.float32)
+        self._rebase_gravity_scale(R_gw, scale)
+
+        # Velocities (old-world metric) -> new world axes.
+        vel = np.asarray(res.vel) @ R_gw.T
+        for i, k in enumerate(ids):
+            self.kf_vel[k] = vel[i]
+            self.kf_bg[k] = np.asarray(res.bg)
+            self.kf_ba[k] = np.asarray(res.ba)
+        self._bias = np.concatenate([np.asarray(res.bg), np.asarray(res.ba)])
+
+        self.imu_ready = True
+        self.viba_stage = 1
+
+        # Full inertial BA with strong bias priors (FullInertialBA :3237).
+        self._full_inertial_ba(kf_id, prior_g=self.imu_init_prior[0],
+                               prior_a=self.imu_init_prior[1])
+
+        # Seed the frame body state from the newest KF.
+        Rb, pb = body_from_cam(np.asarray(self.state.kfs.R[kf_id]),
+                               np.asarray(self.state.kfs.t[kf_id]),
+                               self.R_bc, self.t_bc)
+        self._body = (jnp.asarray(Rb), jnp.asarray(pb),
+                      jnp.asarray(self.kf_vel[kf_id]))
+        # Tracking context must follow the rebase.
+        if self._last is not None:
+            self._last["R"] = self.state.kfs.R[kf_id]
+            self._last["t"] = self.state.kfs.t[kf_id]
+        self._vel = None
+
+    def _rebase_gravity_scale(self, R_gw: np.ndarray, s: float):
+        """x' = s * R_gw @ x on landmarks; camera poses follow
+        (R_cw' = R_cw R_gw^T, t_cw' = s t_cw)."""
+        kfs, lms = self.state.kfs, self.state.lms
+        R_wg = jnp.asarray(R_gw.T)
+        R_new = jnp.einsum("kij,jl->kil", kfs.R, R_wg)
+        t_new = s * kfs.t
+        pos_new = s * lms.pos @ jnp.asarray(R_gw).T
+        normal_new = lms.normal @ jnp.asarray(R_gw).T
+        self.state = self.state._replace(
+            kfs=kfs._replace(R=R_new, t=t_new),
+            lms=lms._replace(pos=pos_new, normal=normal_new,
+                             min_dist=s * lms.min_dist,
+                             max_dist=s * lms.max_dist))
+        # Keep the logged trajectory consistent across the rebase (the
+        # reference gets this for free by replaying relative poses at save
+        # time, Tracking.cc:3396-3419).
+        R_wg_np = R_gw.T.astype(np.float32)
+        self.trajectory = [(st, R @ R_wg_np, s * t)
+                           for st, R, t in self.trajectory]
+
+    # ------------------------------------------------------------------
+    # Visual-inertial bundle adjustment drivers
+    # ------------------------------------------------------------------
+    def _build_viba(self, ids, free_ids, n_slots, l_slots, prior_bias,
+                    walk_dt):
+        """Pack a window of keyframes + their landmarks into a fixed-shape
+        VIBAProblem (host-side gather; the solve is one jitted kernel)."""
+        state = self.state
+        kfs, lms, obs = state.kfs, state.lms, state.obs
+        R_np, t_np = np.asarray(kfs.R), np.asarray(kfs.t)
+        K = n_slots
+        R_wb = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        p_w = np.zeros((K, 3), np.float32)
+        v_w = np.zeros((K, 3), np.float32)
+        bg = np.zeros((K, 3), np.float32)
+        ba = np.zeros((K, 3), np.float32)
+        fixed = np.ones(K, bool)
+        loc = np.full(self.cfg.max_kf, -1, np.int32)
+        free_set = set(int(f) for f in free_ids)
+        for i, k in enumerate(ids):
+            loc[k] = i
+            R_wb[i], p_w[i] = body_from_cam(R_np[k], t_np[k],
+                                            self.R_bc, self.t_bc)
+            v_w[i] = self.kf_vel[k]
+            bg[i] = self.kf_bg[k]
+            ba[i] = self.kf_ba[k]
+            fixed[i] = k not in free_set
+        # Inertial edges between chain-consecutive in-window KFs.
+        E = K - 1
+        ei = np.zeros(E, np.int32)
+        ej = np.zeros(E, np.int32)
+        ev = np.zeros(E, bool)
+        pre_list = []
+        dummy = imu.init_state()
+        n_e = 0
+        for k in ids:
+            p = int(self.kf_prev[k])
+            if p >= 0 and loc[p] >= 0 and self.kf_preint[k] is not None \
+                    and n_e < E:
+                ei[n_e], ej[n_e] = loc[p], loc[k]
+                ev[n_e] = True
+                pre_list.append(self.kf_preint[k])
+                n_e += 1
+        while len(pre_list) < E:
+            pre_list.append(dummy)
+        preints = inertial._stack_preints(pre_list)
+
+        # Landmarks observed by any free KF.
+        obs_kf_np = np.asarray(obs.kf)
+        obs_valid_np = np.asarray(obs.valid) & (obs_kf_np >= 0)
+        obs_loc = np.where(obs_valid_np, loc[np.maximum(obs_kf_np, 0)], -1)
+        in_free = np.zeros_like(obs_valid_np)
+        for f in free_ids:
+            in_free |= obs_valid_np & (obs_kf_np == int(f))
+        lm_sel = (in_free.any(-1) & np.asarray(lms.valid))
+        sel_idx = np.where(lm_sel)[0][:l_slots]
+        L = l_slots
+        lsel = np.zeros(L, np.int32)
+        lsel[:len(sel_idx)] = sel_idx
+        lm_valid = np.zeros(L, bool)
+        lm_valid[:len(sel_idx)] = True
+
+        okf = obs_loc[lsel]                      # (L, O) local kf ids
+        okp = np.asarray(obs.kp)[lsel]
+        o_valid = obs_valid_np[lsel] & (okf >= 0) & lm_valid[:, None]
+        kp_xy = np.asarray(kfs.kp_xy)
+        kp_level = np.asarray(kfs.kp_level)
+        gkf = np.maximum(np.asarray(obs.kf)[lsel], 0)
+        okp_s = np.maximum(okp, 0)
+        obs_uv = kp_xy[gkf, okp_s]
+        obs_w = np.asarray(tracking.INV_SIGMA2)[kp_level[gkf, okp_s]]
+
+        prob = inertial_ba.VIBAProblem(
+            R_wb=jnp.asarray(R_wb), p_w=jnp.asarray(p_w),
+            v_w=jnp.asarray(v_w), bg=jnp.asarray(bg), ba=jnp.asarray(ba),
+            points=jnp.asarray(np.asarray(lms.pos)[lsel]),
+            obs_kf=jnp.asarray(np.where(o_valid, okf, -1)),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_w=jnp.asarray(obs_w),
+            obs_valid=jnp.asarray(o_valid),
+            lm_valid=jnp.asarray(lm_valid),
+            edges_i=jnp.asarray(ei), edges_j=jnp.asarray(ej),
+            preints=preints, edge_valid=jnp.asarray(ev),
+            walk_info=self._walk_info(walk_dt),
+            R_cb=jnp.asarray(self.R_cb), t_cb=jnp.asarray(self.t_cb),
+            cam_params=self.cam_params,
+            fixed=jnp.asarray(fixed),
+            prior_bias_w=jnp.asarray(prior_bias, jnp.float32))
+        return prob, loc, lsel, lm_valid, o_valid
+
+    def _apply_viba(self, res, ids, free_ids, loc, lsel, lm_valid, o_valid):
+        kfs, lms, obs = self.state.kfs, self.state.lms, self.state.obs
+        R_wb = np.asarray(res.R_wb)
+        p_w = np.asarray(res.p_w)
+        R_new = np.array(kfs.R)
+        t_new = np.array(kfs.t)
+        for k in free_ids:
+            i = int(loc[k])
+            Rc, tc = cam_from_body(R_wb[i], p_w[i], self.R_cb, self.t_cb)
+            R_new[k], t_new[k] = Rc, tc
+            self.kf_vel[k] = np.asarray(res.v_w)[i]
+            self.kf_bg[k] = np.asarray(res.bg)[i]
+            self.kf_ba[k] = np.asarray(res.ba)[i]
+        pos_new = np.array(lms.pos)
+        upd = lm_valid
+        pos_new[lsel[upd]] = np.asarray(res.points)[upd]
+        # Outlier observations found by the BA are dropped.
+        ov = np.array(obs.valid)
+        keep = np.asarray(res.obs_inlier) | ~o_valid
+        ov[lsel[upd]] &= keep[upd]
+        self.state = self.state._replace(
+            kfs=kfs._replace(R=jnp.asarray(R_new), t=jnp.asarray(t_new)),
+            lms=lms._replace(pos=jnp.asarray(pos_new)),
+            obs=obs._replace(valid=jnp.asarray(ov)))
+
+    def _local_inertial_ba(self, kf_id: int):
+        """LocalInertialBA: temporal window, last ``W_free`` free
+        (Optimizer.cc:2203, maxOpt=10)."""
+        ids = self._chain(kf_id, max_len=self.W)[-self.W:]
+        free_ids = [k for k in ids[-self.W_free:] if k != self.map_first_kf]
+        if not free_ids:
+            return
+        dt = max(self._trajectory_kf_stamp(ids[-1])
+                 - self._trajectory_kf_stamp(ids[0]), 1e-2) / max(len(ids), 1)
+        prob, loc, lsel, lmv, o_valid = self._build_viba(
+            ids, free_ids, self.W, self.L_slots,
+            prior_bias=(0.0, 0.0), walk_dt=dt)
+        res = inertial_ba.vi_bundle_adjust(prob, stages=(4, 6))
+        self._apply_viba(res, ids, free_ids, loc, lsel, lmv, o_valid)
+
+    def _full_inertial_ba(self, kf_id: int, prior_g: float, prior_a: float):
+        """FullInertialBA (Optimizer.cc:3237) over (a cap of) the chain."""
+        ids = self._chain(kf_id)[-self.full_viba_kf:]
+        free_ids = [k for k in ids if k != ids[0]]
+        dt = max(self._trajectory_kf_stamp(ids[-1])
+                 - self._trajectory_kf_stamp(ids[0]), 1e-2) / max(len(ids), 1)
+        prob, loc, lsel, lmv, o_valid = self._build_viba(
+            ids, free_ids, self.full_viba_kf, self.L_slots,
+            prior_bias=(prior_g, prior_a), walk_dt=dt)
+        res = inertial_ba.vi_bundle_adjust(prob, stages=(5, 10))
+        self._apply_viba(res, ids, free_ids, loc, lsel, lmv, o_valid)
+
+    # ------------------------------------------------------------------
+    # Inertial per-frame tracking (Track :2692 with IMU)
+    # ------------------------------------------------------------------
+    def _track_inertial(self, feats, stamp):
+        last = self._last
+        pre_f = self._preintegrate(self._last_stamp, stamp, self._bias,
+                                   FRAME_STEPS)
+        R_wb, p_w, v_w = self._body
+        bias_j = jnp.asarray(self._bias)
+        R_pred, v_pred, p_pred = imu.predict_state(R_wb, v_w, p_w, pre_f,
+                                                   bias_j)
+        Rc_pred, tc_pred = cam_from_body(np.asarray(R_pred),
+                                         np.asarray(p_pred),
+                                         self.R_cb, self.t_cb)
+        Rc_pred = jnp.asarray(Rc_pred)
+        tc_pred = jnp.asarray(tc_pred)
+
+        lms = self.state.lms
+        res = tracking.track_motion_model(
+            Rc_pred, tc_pred, lms.pos, lms.valid,
+            last["bindings"], last["feats"].desc,
+            feats.xy, feats.level, feats.desc, feats.valid,
+            self.cam_params)
+        res = tracking.track_local_map(
+            res.R if int(res.n_inliers) >= 10 else Rc_pred,
+            res.t if int(res.n_inliers) >= 10 else tc_pred,
+            res.bindings,
+            lms.pos, lms.desc, lms.normal, lms.min_dist, lms.max_dist,
+            lms.valid,
+            feats.xy, feats.level, feats.desc, feats.valid,
+            self.cam_params, self.cfg.width, self.cfg.height)
+
+        # Joint visual-inertial pose refinement
+        # (PoseInertialOptimizationLastFrame, Optimizer.cc:983).
+        bind = res.bindings
+        has = (bind >= 0) & feats.valid
+        pts_w = lms.pos[jnp.maximum(bind, 0)]
+        inv_s2 = tracking.INV_SIGMA2[feats.level]
+        Rb0, pb0 = body_from_cam(np.asarray(res.R), np.asarray(res.t),
+                                 self.R_bc, self.t_bc)
+        pr = inertial.pose_inertial_optimization(
+            jnp.asarray(Rb0), jnp.asarray(pb0), v_pred,
+            bias_j[:3], bias_j[3:],
+            R_wb, p_w, v_w, bias_j[:3], bias_j[3:],
+            pre_f, pts_w, feats.xy, inv_s2, has,
+            self.cam_params, jnp.asarray(self.R_cb), jnp.asarray(self.t_cb),
+            self._walk_info(float(pre_f.dT)))
+
+        n_inliers = int(pr.n_inliers)
+        if n_inliers < 15:
+            # RECENTLY_LOST: IMU dead-reckoning grace (Tracking.cc:2925).
+            self.status = RECENTLY_LOST
+            self.lost_frames += 1
+            self._body = (R_pred, p_pred, v_pred)
+            if self.lost_frames > self.lost_grace:
+                self._handle_lost(feats, stamp)
+                return None
+            Rc, tc = cam_from_body(np.asarray(R_pred), np.asarray(p_pred),
+                                   self.R_cb, self.t_cb)
+            self._last = dict(feats=feats, bindings=res.bindings,
+                              R=jnp.asarray(Rc), t=jnp.asarray(tc),
+                              stamp=stamp)
+            return (jnp.asarray(Rc), jnp.asarray(tc))
+
+        self.status = OK
+        self.lost_frames = 0
+        self._body = (pr.R, pr.p, pr.v)
+        self._bias = np.concatenate([np.asarray(pr.bg), np.asarray(pr.ba)])
+        bindings = jnp.where(pr.inlier, bind, -1)
+
+        Rc, tc = cam_from_body(np.asarray(pr.R), np.asarray(pr.p),
+                               self.R_cb, self.t_cb)
+        Rc, tc = jnp.asarray(Rc), jnp.asarray(tc)
+
+        # Found/visible counters for culling.
+        bound = np.asarray(bindings)
+        seen = bound[bound >= 0]
+        lms_found = jnp.zeros((self.cfg.max_lm,), jnp.int32).at[
+            jnp.asarray(seen)].add(1)
+        self.state = self.state._replace(lms=self.state.lms._replace(
+            n_found=self.state.lms.n_found + lms_found,
+            n_visible=self.state.lms.n_visible + lms_found))
+
+        self._last = dict(feats=feats, bindings=bindings, R=Rc, t=tc,
+                          stamp=stamp)
+        self.frames_since_kf += 1
+        if not self.localization_only and self._need_new_keyframe(n_inliers):
+            tr = tracking.TrackResult(R=Rc, t=tc, bindings=bindings,
+                                      n_inliers=pr.n_inliers)
+            self._create_keyframe(feats, tr, stamp)
+            # KF BA may have moved the newest pose; refresh the body state.
+            Rb, pb = body_from_cam(np.asarray(self.state.kfs.R[self.last_kf_id]),
+                                   np.asarray(self.state.kfs.t[self.last_kf_id]),
+                                   self.R_bc, self.t_bc)
+            self._body = (jnp.asarray(Rb), jnp.asarray(pb),
+                          jnp.asarray(self.kf_vel[self.last_kf_id]))
+        return (Rc, tc)
+
+    # ------------------------------------------------------------------
+    def _handle_lost(self, feats, stamp):
+        super()._handle_lost(feats, stamp)
+        self.imu_ready = False
+        self.viba_stage = 0
+        self._body = None
+        self._bias = np.zeros(6, np.float32)
+        self.kf_prev[:] = -1
+        self.kf_preint = [None] * self.cfg.max_kf

@@ -66,9 +66,11 @@ def triangulate_pair(Ra, ta, xy_a, level_a, desc_a, free_a,
     < 5.991 * sigma2(level), scale-consistency ratio between view distances.
     """
     F12 = fundamental_from_poses(Ra, ta, Rb, tb, cam_params)
-    pm = matching.epipolar_mask(F12, xy_a, xy_b, level_b, SIGMA2)
-    mj, md = matching.match(desc_a, desc_b, free_a, free_b, pair_mask=pm,
-                            max_dist=matching.TH_LOW, ratio=0.8, mutual=True)
+    ones1 = jnp.ones_like(xy_a[:, :1])
+    lines = jnp.concatenate([xy_a, ones1], -1) @ F12.T
+    mj, md = matching.search_epipolar(lines, desc_a, free_a, xy_b, level_b,
+                                      desc_b, free_b, SIGMA2,
+                                      max_dist=matching.TH_LOW, ratio=0.8)
     n = xy_a.shape[0]
     kp_b = jnp.maximum(mj, 0)
     matched = mj >= 0
@@ -155,6 +157,92 @@ def local_ba(state: ms.MapState, free_kf: jnp.ndarray, cam_params,
     n_obs = (obs.valid & (obs.kf >= 0)).sum(-1)
     lms = lms._replace(valid=lms.valid & (n_obs >= 2), n_obs=n_obs.astype(jnp.int32))
     return state._replace(kfs=kfs, lms=lms, obs=obs)
+
+
+@jax.jit
+def fuse_duplicates(state: ms.MapState, kf_id: jnp.ndarray, cam_params,
+                    img_w: float, img_h: float):
+    """SearchInNeighbors / ORBmatcher::Fuse (LocalMapping.cc:917,
+    ORBmatcher.cc:1326): project map landmarks NOT yet seen by the new KF
+    into it; a hit on a keypoint already bound to another landmark means a
+    duplicate — the landmark with fewer observations dies; a hit on a free
+    keypoint becomes a new observation."""
+    kfs, lms, obs = state.kfs, state.lms, state.obs
+    n_lm = lms.pos.shape[0]
+    n_feat = kfs.kp_xy.shape[1]
+    seen, kp_of = ms.landmarks_seen_by(state, kf_id)
+    R, t = kfs.R[kf_id], kfs.t[kf_id]
+
+    visible, proj, dist, plevel = matching.frustum_cull(
+        R, t, lms.pos, lms.normal, lms.min_dist, lms.max_dist, cam_params,
+        img_w, img_h)
+    cand = visible & lms.valid & ~seen
+    radius = 3.0 * SCALE ** plevel.astype(jnp.float32)
+    mj, md = matching.search_by_projection(
+        proj, plevel, lms.desc, cand,
+        kfs.kp_xy[kf_id], kfs.kp_level[kf_id], kfs.kp_desc[kf_id],
+        kfs.kp_valid[kf_id],
+        radius=radius, max_dist=matching.TH_LOW, ratio=None,
+        level_window=(-1, 1))
+
+    # Keypoint -> landmark already bound in this KF.
+    kp2lm = jnp.full((n_feat,), -1, jnp.int32).at[
+        jnp.where(seen, kp_of, n_feat)].set(
+            jnp.where(seen, jnp.arange(n_lm), -1), mode="drop")
+    hit_kp = jnp.maximum(mj, 0)
+    other = kp2lm[hit_kp]                            # (L,)
+    dup = (mj >= 0) & (other >= 0) & cand
+    other_safe = jnp.maximum(other, 0)
+    keep_other = lms.n_obs[other_safe] >= lms.n_obs
+    die = dup & keep_other                           # this landmark loses
+    die = die | jnp.zeros((n_lm,), bool).at[
+        jnp.where(dup & ~keep_other, other_safe, n_lm)].set(
+            True, mode="drop")                       # the bound one loses
+    lms2 = lms._replace(valid=lms.valid & ~die)
+    state = state._replace(
+        lms=lms2, obs=obs._replace(valid=obs.valid & lms2.valid[:, None]))
+
+    # Fresh observations on free keypoints.
+    new_obs = (mj >= 0) & (other < 0) & cand & ~die
+    return ms.add_observations(state, jnp.arange(n_lm), kf_id, hit_kp,
+                               new_obs)
+
+
+@jax.jit
+def cull_keyframes(state: ms.MapState, kf_id: jnp.ndarray,
+                   redundancy: float = 0.9, protect_last: int = 3):
+    """KeyFrameCulling (LocalMapping.cc:1177): cull (at most one per call,
+    like the reference's incremental sweep) a keyframe >=90% of whose
+    landmarks are seen by >=3 other keyframes. KF0 and the newest KFs are
+    protected; inertial systems skip this entirely (temporal chain)."""
+    kfs, lms, obs = state.kfs, state.lms, state.obs
+    max_kf = kfs.valid.shape[0]
+    valid_obs = obs.valid & (obs.kf >= 0) & lms.valid[:, None]
+    n_obs = valid_obs.sum(-1)                         # (L,)
+    redundant_lm = n_obs >= 4                         # self + 3 others
+
+    flat_kf = jnp.where(valid_obs, obs.kf, max_kf).reshape(-1)
+    ones = valid_obs.reshape(-1).astype(jnp.int32)
+    red = (valid_obs & redundant_lm[:, None]).reshape(-1).astype(jnp.int32)
+    seen_cnt = jnp.zeros((max_kf + 1,), jnp.int32).at[flat_kf].add(ones)
+    red_cnt = jnp.zeros((max_kf + 1,), jnp.int32).at[flat_kf].add(red)
+    frac = red_cnt[:max_kf] / jnp.maximum(seen_cnt[:max_kf], 1)
+
+    ids = jnp.arange(max_kf)
+    protected = (ids == 0) | (ids >= kf_id - protect_last) | ~kfs.valid \
+        | (seen_cnt[:max_kf] < 30)
+    score = jnp.where(protected, -1.0, frac)
+    c = jnp.argmax(score)
+    do = score[c] >= redundancy
+
+    kf_valid = kfs.valid.at[c].set(jnp.where(do, False, kfs.valid[c]))
+    drop = valid_obs & (obs.kf == c) & do
+    obs_valid = obs.valid & ~drop
+    n_obs2 = (obs_valid & (obs.kf >= 0)).sum(-1)
+    lms2 = lms._replace(valid=lms.valid & (n_obs2 >= 2),
+                        n_obs=n_obs2.astype(jnp.int32))
+    return state._replace(kfs=kfs._replace(valid=kf_valid),
+                          obs=obs._replace(valid=obs_valid), lms=lms2)
 
 
 @jax.jit

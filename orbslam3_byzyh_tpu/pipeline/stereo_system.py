@@ -47,6 +47,7 @@ class StereoSlam(base.MonoSlam):
     # ------------------------------------------------------------------
     def track(self, img_left: np.ndarray, img_right: np.ndarray,
               stamp: float):
+        stamp = self._rel_stamp(stamp)
         feats = self._extract(img_left)
         feats_r = self._extract(img_right)
         m = stereo_ops.stereo_match(
@@ -176,6 +177,7 @@ class RgbdSlam(StereoSlam):
     """
 
     def track(self, img: np.ndarray, depth_img: np.ndarray, stamp: float):
+        stamp = self._rel_stamp(stamp)
         feats = self._extract(img)
         d = jnp.asarray(depth_img, jnp.float32) / self.cfg.depth_scale
         h, w = depth_img.shape

@@ -42,6 +42,7 @@ class SlamConfig:
     width: int
     height: int
     dist: Optional[np.ndarray] = None      # [k1,k2,p1,p2,(k3)] or None
+    kb8: Optional[np.ndarray] = None       # [k0..k3] Kannala-Brandt fisheye
     n_features: int = 1024
     max_kf: int = 256
     max_lm: int = 16384
@@ -83,6 +84,9 @@ class MonoSlam:
         # Chessboard world-frame initialization (fork feature).
         self._chess_pose = None
         self._chess_applied = False
+        # Localization-only mode (System::ActivateLocalizationMode,
+        # System.h:125-129): track against the frozen map, no KF insertion.
+        self.localization_only = False
 
         # Reference frame for initialization.
         self._init_feats = None
@@ -92,9 +96,23 @@ class MonoSlam:
         self._vel = None            # (R_v, t_v): T_cur = vel * T_last
         self.frames_since_kf = 0
         self.last_kf_id = -1
-        # Trajectory log: (stamp, Rcw, tcw) per tracked frame.
+        # Trajectory log: (stamp, Rcw, tcw) per tracked frame. Stamps are
+        # RELATIVE to the first frame (self.t0): absolute dataset stamps
+        # (EuRoC ~1.4e9 s) would lose ~100 s of precision in the float32
+        # keyframe-stamp arrays. Writers add self.t0 back.
         self.trajectory = []
+        self._t0 = None
         self.rng_key = jax.random.PRNGKey(0)
+
+    @property
+    def t0(self) -> float:
+        """Absolute timestamp of the first tracked frame (0.0 if none)."""
+        return self._t0 or 0.0
+
+    def _rel_stamp(self, stamp: float) -> float:
+        if self._t0 is None:
+            self._t0 = float(stamp)
+        return float(stamp) - self._t0
 
     # ------------------------------------------------------------------
     @property
@@ -125,7 +143,19 @@ class MonoSlam:
     def _extract(self, img: np.ndarray) -> fast_orb.FrameFeatures:
         feats = fast_orb.extract(jnp.asarray(img, jnp.float32),
                                  n_features=self.cfg.n_features)
-        if self.dist is not None:
+        if self.cfg.kb8 is not None:
+            # Kannala-Brandt fisheye: rectify detected keypoints onto the
+            # virtual pinhole (fx, fy, cx, cy). The reference instead keeps
+            # the KB8 model in every projection (GeometricCamera plumbing);
+            # rectifying once at extraction reaches the same geometry with
+            # one kernel — KB8 stays available natively in the solvers via
+            # ops/camera.py model_id for residual-level parity work.
+            kb8_params = jnp.concatenate([
+                self.cam_params, jnp.asarray(self.cfg.kb8, jnp.float32)])
+            ray = cam.kb8_unproject(kb8_params, feats.xy)
+            und = cam.pinhole_project(self.cam_params, ray)
+            feats = feats._replace(xy=und)
+        elif self.dist is not None:
             und = cam.undistort_pixels(self.cam_params, self.dist, feats.xy)
             feats = feats._replace(xy=und)
         return feats
@@ -133,6 +163,7 @@ class MonoSlam:
     # ------------------------------------------------------------------
     def track(self, img: np.ndarray, stamp: float):
         """Process one frame; returns Tcw (R, t) or None while initializing."""
+        stamp = self._rel_stamp(stamp)
         if (self.cfg.chessboard is not None and self._chess_pose is None
                 and self.status == NOT_INITIALIZED):
             self._snoop_chessboard(img)
@@ -316,9 +347,17 @@ class MonoSlam:
                           t=res.t, stamp=stamp)
         self.frames_since_kf += 1
 
-        if self._need_new_keyframe(n_inliers):
+        if not self.localization_only and self._need_new_keyframe(n_inliers):
             self._create_keyframe(feats, res, stamp)
         return (res.R, res.t)
+
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        """Freeze the map; keep tracking/relocalizing against it."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
 
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, n_inliers: int) -> bool:
@@ -371,17 +410,15 @@ class MonoSlam:
                     True, mode="drop")
             free_kp = feats.valid & ~bound_now
 
-        # Local BA: free = this KF + its best covisible neighbors.
-        free = np.zeros(self.cfg.max_kf, bool)
-        free[kf_id] = True
-        for k in order[: self.cfg.local_window]:
-            if counts[k] > 0:
-                free[int(k)] = True
-        free[0] = False  # gauge anchor
-        self.state = mapping.local_ba(self.state, jnp.asarray(free),
-                                      self.cam_params)
+        # Duplicate-landmark fusion (SearchInNeighbors, LocalMapping.cc:917).
+        self.state = mapping.fuse_duplicates(
+            self.state, jnp.asarray(kf_id, jnp.int32), self.cam_params,
+            float(self.cfg.width), float(self.cfg.height))
+
+        self._local_refine(kf_id, counts, order)
         self.state = mapping.cull_landmarks(
             self.state, jnp.asarray(kf_id, jnp.int32))
+        self._maybe_cull_keyframes(kf_id)
         self.last_kf_id = kf_id
 
         # Loop closing (LoopClosing::Run per-KF work, :100).
@@ -400,6 +437,26 @@ class MonoSlam:
         # Rebind current-frame bindings to post-BA state (pose refreshed).
         self._last["R"] = self.state.kfs.R[kf_id]
         self._last["t"] = self.state.kfs.t[kf_id]
+
+    def _maybe_cull_keyframes(self, kf_id: int):
+        """KeyFrameCulling hook (inertial systems skip it: culling a chain
+        KF would require merging preintegrations, ImuTypes.cc:330)."""
+        if self.n_kf >= 8:
+            self.state = mapping.cull_keyframes(
+                self.state, jnp.asarray(kf_id, jnp.int32))
+
+    def _local_refine(self, kf_id: int, counts, order):
+        """Local BA after a new KF: free = this KF + best covisible
+        neighbors (LocalBundleAdjustment dispatch, LocalMapping.cc:208).
+        The inertial system overrides this with LocalInertialBA (:199)."""
+        free = np.zeros(self.cfg.max_kf, bool)
+        free[kf_id] = True
+        for k in order[: self.cfg.local_window]:
+            if counts[k] > 0:
+                free[int(k)] = True
+        free[0] = False  # gauge anchor
+        self.state = mapping.local_ba(self.state, jnp.asarray(free),
+                                      self.cam_params)
 
     def _triangulate_with(self, kf_a: int, kf_b: int, feats, free_kp):
         kfs = self.state.kfs
@@ -439,15 +496,32 @@ class MonoSlam:
     def _relocalize(self, feats, stamp):
         if self.loop_closer is None:
             return None
+        from ..ops import matching, pnp
         ids, scores, _ = self.loop_closer.db.query(
             feats.desc, feats.valid, top_n=3)
         lms = self.state.lms
         for cand in ids:
             if cand < 0 or not bool(self.state.kfs.valid[cand]):
                 continue
-            # Try tracking the local map from the candidate KF's pose.
+            # SearchByBoW-style 2D-3D matching against the candidate KF's
+            # landmarks, then MLPnP-equivalent RANSAC (Tracking.cc:5111-5146).
+            seen, _ = ms.landmarks_seen_by(self.state, int(cand))
+            mj, _ = matching.match(lms.desc, feats.desc, seen, feats.valid,
+                                   max_dist=matching.TH_LOW, ratio=0.75)
+            kp = jnp.maximum(mj, 0)
+            self.rng_key, sub = jax.random.split(self.rng_key)
+            pr = pnp.pnp_ransac(
+                sub, lms.pos, feats.xy[kp],
+                tracking.INV_SIGMA2[feats.level[kp]],
+                (mj >= 0) & seen, self.cam_params)
+            if bool(pr.ok) and int(pr.n_inliers) >= 10:
+                R0, t0 = pr.R, pr.t
+            else:
+                # Fall back to the candidate KF's own pose.
+                R0 = self.state.kfs.R[int(cand)]
+                t0 = self.state.kfs.t[int(cand)]
             res = tracking.track_local_map(
-                self.state.kfs.R[int(cand)], self.state.kfs.t[int(cand)],
+                R0, t0,
                 jnp.full((self.cfg.n_features,), -1, jnp.int32),
                 lms.pos, lms.desc, lms.normal, lms.min_dist, lms.max_dist,
                 lms.valid,
@@ -515,8 +589,8 @@ class MonoSlam:
 
     # ------------------------------------------------------------------
     def keyframe_trajectory(self):
-        """(stamps, Rcw, tcw) arrays of live keyframes."""
+        """(stamps, Rcw, tcw) arrays of live keyframes (absolute stamps)."""
         kfs = self.state.kfs
         valid = np.asarray(kfs.valid)
-        return (np.asarray(kfs.stamp)[valid], np.asarray(kfs.R)[valid],
-                np.asarray(kfs.t)[valid])
+        return (np.asarray(kfs.stamp, np.float64)[valid] + self.t0,
+                np.asarray(kfs.R)[valid], np.asarray(kfs.t)[valid])

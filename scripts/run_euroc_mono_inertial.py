@@ -1,16 +1,16 @@
 #!/usr/bin/env python3
-"""Monocular EuRoC runner (mono_euroc.cc equivalent).
+"""Monocular-inertial EuRoC / TUM-VI runner.
 
 Usage:
-  python scripts/run_euroc_mono.py <settings.yaml> <sequence_dir> \
+  python scripts/run_euroc_mono_inertial.py <settings.yaml> <sequence_dir> \
       [--timestamps FILE] [--output-name NAME] [--vocabulary VOC.npz] \
-      [--max-frames N]
+      [--max-frames N] [--clahe]
 
-Replaces /root/reference/Examples/Monocular/mono_euroc.cc: loads the EuRoC
-sequence + YAML calibration, runs the SLAM system frame by frame with the
-native prefetcher, and writes f_<name>.txt / kf_<name>.txt trajectories in
-the reference's TUM/EuRoC format (nanosecond stamps) so
-evaluate_ate_scale.py can score them directly.
+Replaces /root/reference/Examples/Monocular-Inertial/mono_inertial_euroc.cc
+and mono_inertial_tum_vi.cc: loads images + per-frame IMU batches, runs the
+visual-inertial system, writes f_/kf_ trajectories (nanosecond TUM format)
+for evaluate_ate_scale.py. --clahe applies the TUM-VI mains' CLAHE
+equalization (clipLimit=3, tiles 8x8).
 """
 
 import argparse
@@ -33,17 +33,25 @@ def main():
     ap.add_argument("--no-loop-closing", action="store_true")
     ap.add_argument("--min-init-matches", type=int, default=100,
                     help="two-view init match gate (Tracking.cc:3620; lower for low-texture scenes)")
+    ap.add_argument("--clahe", action="store_true")
     args = ap.parse_args()
 
+    import cv2
     import numpy as np
 
     from orbslam3_byzyh_tpu.io import euroc, settings, trajectory
     from orbslam3_byzyh_tpu.native import ImagePrefetcher
-    from orbslam3_byzyh_tpu.pipeline.system import MonoSlam, SlamConfig
+    from orbslam3_byzyh_tpu.pipeline.inertial_system import (ImuConfig,
+                                                             MonoInertialSlam)
+    from orbslam3_byzyh_tpu.pipeline.system import SlamConfig
     from orbslam3_byzyh_tpu.utils.timers import StageTimers
 
     cfg_yaml = settings.load_settings(args.settings)
+    if cfg_yaml.imu is None:
+        raise SystemExit("settings file has no IMU block")
     seq = euroc.load_euroc(args.sequence, args.timestamps)
+    if seq.imu_stamps is None:
+        raise SystemExit("sequence has no mav0/imu0/data.csv")
     n_frames = len(seq) if args.max_frames is None else min(
         len(seq), args.max_frames)
 
@@ -53,30 +61,43 @@ def main():
         voc = bow.load_vocabulary(args.vocabulary)
 
     cam = cfg_yaml.cam1
+    kb8 = cam.params[4:8] if cam.model == "KannalaBrandt8" else None
     cfg = SlamConfig(
         fx=float(cam.params[0]), fy=float(cam.params[1]),
         cx=float(cam.params[2]), cy=float(cam.params[3]),
         width=cam.width, height=cam.height,
-        dist=cam.dist,
+        dist=cam.dist, kb8=kb8,
         n_features=cfg_yaml.orb.n_features,
         fps=cfg_yaml.fps or 20.0,
         vocabulary=voc,
         use_loop_closing=not args.no_loop_closing,
         min_init_matches=args.min_init_matches)
-    slam = MonoSlam(cfg)
+    imu_cfg = ImuConfig(
+        T_bc=np.asarray(cfg_yaml.imu.Tbc, np.float32),
+        gyro_noise=cfg_yaml.imu.noise_gyro, acc_noise=cfg_yaml.imu.noise_acc,
+        gyro_walk=cfg_yaml.imu.walk_gyro, acc_walk=cfg_yaml.imu.walk_acc,
+        freq=cfg_yaml.imu.frequency)
+    slam = MonoInertialSlam(cfg, imu_cfg)
     timers = StageTimers()
+    clahe = cv2.createCLAHE(3.0, (8, 8)) if args.clahe else None
 
     pf = ImagePrefetcher(seq.image_paths[:n_frames])
+    t_prev = None
     t_start = time.perf_counter()
     for idx, img in pf:
+        t = float(seq.stamps[idx])
+        if clahe is not None:
+            img = clahe.apply(img.astype(np.uint8)).astype(np.float32)
+        imu_data = seq.imu_between(t_prev, t) if t_prev is not None else None
         with timers.time("total_track"):
-            slam.track(img, float(seq.stamps[idx]))
+            slam.track(img, t, imu_data)
+        t_prev = t
     wall = time.perf_counter() - t_start
     pf.close()
 
     print(f"tracked {len(slam.trajectory)}/{n_frames} frames in {wall:.1f}s "
           f"({n_frames / wall:.1f} fps); keyframes={slam.n_kf} "
-          f"landmarks={slam.n_lm}")
+          f"landmarks={slam.n_lm} imu_ready={slam.imu_ready}")
     print(timers.report())
 
     stamps = [s + slam.t0 for s, _, _ in slam.trajectory]

@@ -13,7 +13,8 @@ import numpy as np
 
 class SynthWorld:
     def __init__(self, seed=0, n_points=2500, w=640, h=480,
-                 fx=400.0, fy=400.0):
+                 fx=400.0, fy=400.0, motion="default"):
+        self.motion = motion
         self.rng = np.random.default_rng(seed)
         self.w, self.h = w, h
         self.fx, self.fy = fx, fy
@@ -32,16 +33,66 @@ class SynthWorld:
         self.sat_off = self.rng.uniform(-2.5, 2.5, (n_points, 4, 2))
         self.sat_int = self.rng.uniform(40, 255, (n_points, 4))
 
-    def pose(self, t: float):
-        """GT world->cam pose at time t (smooth sideways arc + slight yaw)."""
+    def trajectory(self, t: float):
+        """GT (pos, vel, acc, R_wc) at time t; analytic derivatives.
+
+        motion="default": smooth sideways arc + slight yaw (the original
+        visual test path). motion="excited": extra sinusoidal acceleration
+        so scale/gravity are observable for visual-inertial tests.
+        """
         from scipy.spatial.transform import Rotation
-        cam_pos = np.array([0.9 * t, 0.2 * np.sin(0.5 * t), 0.08 * t])
+        if getattr(self, "motion", "default") == "excited":
+            pos = np.array([0.9 * t + 0.3 * np.sin(1.5 * t),
+                            0.4 * np.sin(0.8 * t),
+                            0.08 * t + 0.1 * np.sin(1.2 * t)])
+            vel = np.array([0.9 + 0.45 * np.cos(1.5 * t),
+                            0.32 * np.cos(0.8 * t),
+                            0.08 + 0.12 * np.cos(1.2 * t)])
+            acc = np.array([-0.675 * np.sin(1.5 * t),
+                            -0.256 * np.sin(0.8 * t),
+                            -0.144 * np.sin(1.2 * t)])
+        else:
+            pos = np.array([0.9 * t, 0.2 * np.sin(0.5 * t), 0.08 * t])
+            vel = np.array([0.9, 0.1 * np.cos(0.5 * t), 0.08])
+            acc = np.array([0.0, -0.05 * np.sin(0.5 * t), 0.0])
         yaw = 0.04 * t
         pitch = 0.02 * np.sin(0.8 * t)
         R_wc = Rotation.from_euler("yx", [yaw, pitch]).as_matrix()
+        return pos, vel, acc, R_wc
+
+    def pose(self, t: float):
+        """GT world->cam pose at time t."""
+        cam_pos, _, _, R_wc = self.trajectory(t)
         R_cw = R_wc.T
         t_cw = -R_cw @ cam_pos
         return R_cw.astype(np.float32), t_cw.astype(np.float32)
+
+    GRAVITY_W = np.array([0.0, 0.0, -9.81])
+
+    def imu(self, t0: float, t1: float, freq: float = 200.0,
+            gyro_noise: float = 0.0, acc_noise: float = 0.0,
+            rng=None):
+        """Synthesize body-frame IMU samples with t in (t0, t1].
+
+        Body frame == camera frame (T_bc = I). Gyro from numeric rotation
+        differencing; accelerometer = R_wb^T (a_w - g_w).
+        """
+        from scipy.spatial.transform import Rotation
+        k0 = int(np.floor(t0 * freq)) + 1
+        k1 = int(np.floor(t1 * freq))
+        ts = np.arange(k0, k1 + 1, dtype=np.float64) / freq
+        gyr = np.zeros((len(ts), 3), np.float32)
+        acc = np.zeros((len(ts), 3), np.float32)
+        h = 1e-5
+        for i, t in enumerate(ts):
+            _, _, a_w, R_wb = self.trajectory(t)
+            _, _, _, R_wb2 = self.trajectory(t + h)
+            gyr[i] = Rotation.from_matrix(R_wb.T @ R_wb2).as_rotvec() / h
+            acc[i] = R_wb.T @ (a_w - self.GRAVITY_W)
+        if rng is not None and (gyro_noise > 0 or acc_noise > 0):
+            gyr = gyr + rng.normal(0, gyro_noise, gyr.shape)
+            acc = acc + rng.normal(0, acc_noise, acc.shape)
+        return ts, gyr.astype(np.float32), acc.astype(np.float32)
 
     def render(self, t: float) -> np.ndarray:
         R, tt = self.pose(t)
