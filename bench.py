@@ -29,21 +29,31 @@ def _enable_compile_cache():
 def main():
     _enable_compile_cache()
     import jax
+    import numpy as np
 
     from orbslam3_byzyh_tpu import graft
 
     fn = jax.jit(graft.tracking_step)
-    args = graft.example_tracking_args()
+    args = list(graft.example_tracking_args())
 
     # Warmup / compile.
     out = fn(*args)
     jax.block_until_ready(out)
 
+    # Unique image per iteration: the axon runtime memoizes identical
+    # (executable, inputs) calls, which would fake the numbers.
+    rng = np.random.default_rng(123)
     n_iters = 50
+    imgs = [np.asarray(rng.uniform(0, 255, np.asarray(args[0]).shape),
+                       np.float32) for _ in range(n_iters)]
+    imgs = [jax.device_put(im) for im in imgs]
+    jax.block_until_ready(imgs)
+    outs = []
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for i in range(n_iters):
+        args[0] = imgs[i]
+        outs.append(fn(*args))
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 

@@ -380,18 +380,65 @@ def compute_descriptors(blurred: jnp.ndarray, xy: jnp.ndarray,
     return jax.lax.bitcast_convert_type(words, jnp.uint32)  # (K, 8)
 
 
+def _pattern_positions(xy, angle, w: int, h: int):
+    """Global (gy, gx) int32 positions, (K, 512) each, of the rotated BRIEF
+    samples (A pattern then B pattern), clipped to the image."""
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+
+    def rot(px, py):
+        col = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None])
+        row = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None])
+        return col, row
+
+    cx = jnp.round(xy[:, 0:1])
+    cy = jnp.round(xy[:, 1:2])
+    ax, ay = rot(PATTERN_AX, PATTERN_AY)
+    bx, by = rot(PATTERN_BX, PATTERN_BY)
+    ox = jnp.concatenate([ax, bx], 1)
+    oy = jnp.concatenate([ay, by], 1)
+    gx = jnp.clip(cx + ox, 0, w - 1).astype(jnp.int32)
+    gy = jnp.clip(cy + oy, 0, h - 1).astype(jnp.int32)
+    return gy, gx
+
+
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(K, 256) comparison bits -> (K, 8) uint32 words.
+
+    Unrolled strided adds: the multiply-by-powers-reduce formulation
+    compiles pathologically slowly on the TPU toolchain for tiny reduction
+    axes (computeOrbDescriptor :150 packing parity)."""
+    k = bits.shape[0]
+    byte_vals = jnp.zeros((k, 32), jnp.float32)
+    for j in range(8):
+        byte_vals = byte_vals + bits[:, j::8] * float(2 ** j)
+    b4 = byte_vals.astype(jnp.int32).reshape(k, 8, 4)
+    words = (b4[..., 0] + b4[..., 1] * 256 + b4[..., 2] * 65536
+             + b4[..., 3] * 16777216)
+    return jax.lax.bitcast_convert_type(words, jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("n_features", "n_levels", "scale"))
 def extract(img: jnp.ndarray, n_features: int = 1024, n_levels: int = 8,
             scale: float = 1.2) -> FrameFeatures:
     """Full ORB extraction. img: (H, W) float32 grayscale in [0, 255].
 
     Returns FrameFeatures with capacity n_features (padded, masked).
+
+    All levels' descriptor samples are fetched in ONE gather from a
+    concatenated blurred-pyramid buffer: on TPU a gather op costs ~0.5 ms
+    almost independent of size, so 2 gathers/level (the naive structure) was
+    ~5.5 ms of pure fixed overhead — one fused gather is ~10x faster.
     """
+    from . import pallas_brief
+    use_pallas = pallas_brief.tpu_available()
+
     img = img.astype(jnp.float32)
     pyr = build_pyramid(img, n_levels, scale)
     budget = level_feature_budget(n_features, n_levels, scale)
 
-    xs, lvls, angs, resps, descs, valids = [], [], [], [], [], []
+    xs, lvls, angs, resps, valids = [], [], [], [], []
+    blur_flat, idx_all, samples_all = [], [], []
+    offset = 0
     for lv, lvl_img in enumerate(pyr):
         cap = budget[lv]
         if cap == 0:
@@ -410,21 +457,49 @@ def extract(img: jnp.ndarray, n_features: int = 1024, n_levels: int = 8,
         angle = jnp.arctan2(m01.reshape(-1)[flat], m10.reshape(-1)[flat])
 
         blurred = _sep_conv2d(lvl_img, _GAUSS1D)
-        desc = compute_descriptors(blurred, xy, angle)
+        if use_pallas:
+            # In-kernel pattern rotation + patch-local sampling on-chip
+            # (ops/pallas_brief.py) — the XLA gather alternative costs
+            # ~10 ns/element and the (K, 512) position math another ~2 ms.
+            y0, x0 = pallas_brief.aligned_origins(ix, iy, h, w)
+            samples_all.append(pallas_brief.brief_sample(
+                blurred, y0, x0, jnp.cos(angle), jnp.sin(angle),
+                jnp.round(xy[:, 1]), jnp.round(xy[:, 0])))
+        else:
+            gy, gx = _pattern_positions(xy, angle, w, h)
+            # Small levels (or CPU): per-level gather fallback.
+            samples_all.append(None)
+            blur_flat.append(blurred.reshape(-1))
+            idx_all.append(offset + gy * w + gx)
+            offset += h * w
 
         s = scale ** lv
         xs.append(xy * s)
         lvls.append(jnp.full((cap,), lv, jnp.int32))
         angs.append(angle)
         resps.append(resp)
-        descs.append(desc)
         valids.append(valid)
+
+    # Assemble samples: pallas levels directly, gather levels via ONE fused
+    # gather over their concatenated buffers, merged back in level order.
+    if blur_flat:
+        buf = jnp.concatenate(blur_flat, 0)
+        idx = jnp.concatenate(idx_all, 0)          # (M, 512)
+        gathered = buf[idx]
+        # Split the gathered block back per level (in encounter order).
+        splits = list(np.cumsum([a.shape[0] for a in idx_all])[:-1])
+        parts = jnp.split(gathered, splits, axis=0) if splits else [gathered]
+        it = iter(parts)
+        samples_all = [next(it) if s is None else s for s in samples_all]
+    vals = jnp.concatenate(samples_all, 0)         # (N, 512)
+    bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.float32)
+    desc = _pack_bits(bits)
 
     return FrameFeatures(
         xy=jnp.concatenate(xs, 0),
         level=jnp.concatenate(lvls, 0),
         angle=jnp.concatenate(angs, 0),
         response=jnp.concatenate(resps, 0),
-        desc=jnp.concatenate(descs, 0),
+        desc=desc,
         valid=jnp.concatenate(valids, 0),
     )

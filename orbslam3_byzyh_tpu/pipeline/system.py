@@ -352,6 +352,14 @@ class MonoSlam:
         return (res.R, res.t)
 
     # ------------------------------------------------------------------
+    def change_dataset(self):
+        """Multi-session boundary (System::ChangeDataset, used by the
+        multi-sequence example mains): keep the atlas, close the current
+        map and start the next sequence in a fresh one. Re-joining happens
+        through the loop-closing merge path when places are revisited."""
+        self._handle_lost(None, None)
+
+    # ------------------------------------------------------------------
     def activate_localization_mode(self):
         """Freeze the map; keep tracking/relocalizing against it."""
         self.localization_only = True

@@ -25,8 +25,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("settings")
-    ap.add_argument("sequence")
-    ap.add_argument("--timestamps", default=None)
+    ap.add_argument("sequence", nargs="+")
+    ap.add_argument("--timestamps", nargs="*", default=None)
     ap.add_argument("--output-name", default="output")
     ap.add_argument("--vocabulary", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
@@ -43,9 +43,6 @@ def main():
     from orbslam3_byzyh_tpu.utils.timers import StageTimers
 
     cfg_yaml = settings.load_settings(args.settings)
-    seq = euroc.load_euroc(args.sequence, args.timestamps)
-    n_frames = len(seq) if args.max_frames is None else min(
-        len(seq), args.max_frames)
 
     voc = None
     if args.vocabulary:
@@ -66,17 +63,27 @@ def main():
     slam = MonoSlam(cfg)
     timers = StageTimers()
 
-    pf = ImagePrefetcher(seq.image_paths[:n_frames])
+    n_total = 0
     t_start = time.perf_counter()
-    for idx, img in pf:
-        with timers.time("total_track"):
-            slam.track(img, float(seq.stamps[idx]))
+    for si, seq_dir in enumerate(args.sequence):
+        if si > 0:
+            slam.change_dataset()   # multi-session (SLAM.ChangeDataset())
+        ts_file = (args.timestamps[si] if args.timestamps
+                   and si < len(args.timestamps) else None)
+        seq = euroc.load_euroc(seq_dir, ts_file)
+        n_frames = len(seq) if args.max_frames is None else min(
+            len(seq), args.max_frames)
+        n_total += n_frames
+        pf = ImagePrefetcher(seq.image_paths[:n_frames])
+        for idx, img in pf:
+            with timers.time("total_track"):
+                slam.track(img, float(seq.stamps[idx]))
+        pf.close()
     wall = time.perf_counter() - t_start
-    pf.close()
 
-    print(f"tracked {len(slam.trajectory)}/{n_frames} frames in {wall:.1f}s "
-          f"({n_frames / wall:.1f} fps); keyframes={slam.n_kf} "
-          f"landmarks={slam.n_lm}")
+    print(f"tracked {len(slam.trajectory)}/{n_total} frames in {wall:.1f}s "
+          f"({n_total / wall:.1f} fps); keyframes={slam.n_kf} "
+          f"landmarks={slam.n_lm} maps={len(slam.atlas.maps)}")
     print(timers.report())
 
     stamps = [s + slam.t0 for s, _, _ in slam.trajectory]

@@ -23,8 +23,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("settings")
-    ap.add_argument("sequence")
-    ap.add_argument("--timestamps", default=None)
+    ap.add_argument("sequence", nargs="+")
+    ap.add_argument("--timestamps", nargs="*", default=None)
     ap.add_argument("--output-name", default="output")
     ap.add_argument("--vocabulary", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
@@ -44,10 +44,9 @@ def main():
     cfg_yaml = settings.load_settings(args.settings)
     if cfg_yaml.cam2 is None or cfg_yaml.Tlr is None:
         raise SystemExit("settings file lacks camera2 / Stereo.T_c1_c2")
-    seq_l = euroc.load_euroc(args.sequence, args.timestamps, cam="cam0")
-    seq_r = euroc.load_euroc(args.sequence, args.timestamps, cam="cam1")
-    n_frames = len(seq_l) if args.max_frames is None else min(
-        len(seq_l), args.max_frames)
+    first_seq = euroc.load_euroc(args.sequence[0],
+                                 args.timestamps[0] if args.timestamps
+                                 else None)
 
     rig = rectify.build_rectification(cfg_yaml.cam1, cfg_yaml.cam2,
                                       cfg_yaml.Tlr)
@@ -67,7 +66,7 @@ def main():
         bf=rig.bf, th_depth=cfg_yaml.th_depth or 35.0)
 
     use_imu = (not args.no_imu and cfg_yaml.imu is not None
-               and seq_l.imu_stamps is not None)
+               and first_seq.imu_stamps is not None)
     if use_imu:
         imu_cfg = ImuConfig(
             T_bc=np.asarray(cfg_yaml.imu.Tbc, np.float32),
@@ -81,26 +80,37 @@ def main():
         slam = StereoSlam(cfg)
 
     timers = StageTimers()
-    t_prev = None
+    n_total = 0
     t_start = time.perf_counter()
-    for idx in range(n_frames):
-        t = float(seq_l.stamps[idx])
-        img_l = seq_l.read_image(idx)
-        img_r = seq_r.read_image(idx)
-        img_l, img_r = rig.rectify(img_l, img_r)
-        with timers.time("total_track"):
-            if use_imu:
-                imu_data = (seq_l.imu_between(t_prev, t)
-                            if t_prev is not None else None)
-                slam.track(img_l, img_r, t, imu_data)
-            else:
-                slam.track(img_l, img_r, t)
-        t_prev = t
+    for si, seq_dir in enumerate(args.sequence):
+        if si > 0:
+            slam.change_dataset()   # multi-session (SLAM.ChangeDataset())
+        ts_file = (args.timestamps[si] if args.timestamps
+                   and si < len(args.timestamps) else None)
+        seq_l = euroc.load_euroc(seq_dir, ts_file, cam="cam0")
+        seq_r = euroc.load_euroc(seq_dir, ts_file, cam="cam1")
+        n_frames = len(seq_l) if args.max_frames is None else min(
+            len(seq_l), args.max_frames)
+        n_total += n_frames
+        t_prev = None
+        for idx in range(n_frames):
+            t = float(seq_l.stamps[idx])
+            img_l = seq_l.read_image(idx)
+            img_r = seq_r.read_image(idx)
+            img_l, img_r = rig.rectify(img_l, img_r)
+            with timers.time("total_track"):
+                if use_imu:
+                    imu_data = (seq_l.imu_between(t_prev, t)
+                                if t_prev is not None else None)
+                    slam.track(img_l, img_r, t, imu_data)
+                else:
+                    slam.track(img_l, img_r, t)
+            t_prev = t
     wall = time.perf_counter() - t_start
 
-    print(f"tracked {len(slam.trajectory)}/{n_frames} frames in {wall:.1f}s "
-          f"({n_frames / wall:.1f} fps); keyframes={slam.n_kf} "
-          f"landmarks={slam.n_lm}"
+    print(f"tracked {len(slam.trajectory)}/{n_total} frames in {wall:.1f}s "
+          f"({n_total / wall:.1f} fps); keyframes={slam.n_kf} "
+          f"landmarks={slam.n_lm} maps={len(slam.atlas.maps)}"
           + (f" imu_ready={slam.imu_ready}" if use_imu else ""))
     print(timers.report())
 
