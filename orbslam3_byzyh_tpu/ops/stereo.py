@@ -21,7 +21,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import matching
+from . import camera as cam
+from . import geometry, matching
 
 SCALE = 1.2
 W_SAD = 5          # 11x11 window (w=5), Frame.cc:1247
@@ -110,3 +111,75 @@ def stereo_match(left_xy, left_level, left_desc, left_valid,
     return StereoMatchResult(
         u_right=jnp.where(ok, u_right, -1.0),
         depth=depth, valid=ok)
+
+
+class FisheyeStereoResult(NamedTuple):
+    depth: jnp.ndarray     # (N,) z in the LEFT camera frame, -1 invalid
+    match_j: jnp.ndarray   # (N,) right-keypoint index, -1 invalid
+    valid: jnp.ndarray     # (N,)
+
+
+@jax.jit
+def fisheye_stereo_match(xy_l, level_l, desc_l, valid_l,
+                         xy_r, level_r, desc_r, valid_r,
+                         cam_l, cam_r, R_rl, t_rl) -> FisheyeStereoResult:
+    """Non-rectified (fisheye) stereo matching + triangulation.
+
+    Replaces ``Frame::ComputeStereoFishEyeMatches`` (/root/reference/
+    src/Frame.cc, Frame.h:349 — BFMatcher knn with 0.7 ratio) followed by
+    ``KannalaBrandt8::TriangulateMatches`` (/root/reference/src/CameraModels/
+    KannalaBrandt8.cpp:439): parallax gate (cos >= 0.9998 rejected), positive
+    depth in BOTH cameras, and sigma-gated reprojection checks
+    (chi2 < 5.991 * sigma^2 per view).
+
+    Design deviation (documented): keypoints arrive already rectified onto
+    each camera's virtual pinhole (KB8 unprojection happens once at
+    extraction, pipeline/system.py ``_extract``), so rays and reprojection
+    gates run in the virtual-pinhole frames — the same geometry as running
+    the KB8 model per projection, with one kernel instead of many.
+
+    xy_l/xy_r: virtual-pinhole pixel coords. cam_l/cam_r: (4,) [fx fy cx cy]
+    per side. (R_rl, t_rl): left-cam -> right-cam transform (Tlr^{-1}).
+    """
+    n = xy_l.shape[0]
+    dist = matching.masked_hamming(desc_l, desc_r, valid_l, valid_r)
+    best, second, bj = matching.best_two(dist)
+    acc = matching.ratio_test(best, second, 0.7) & (best <= TH_ORB)
+    bj_safe = jnp.maximum(bj, 0)
+    xy_rm = xy_r[bj_safe]
+
+    # Rays in each camera frame.
+    r1 = cam.pinhole_unproject(cam_l, xy_l)            # (N, 3), z = 1
+    r2 = cam.pinhole_unproject(cam_r, xy_rm)
+    r2_in_l = jnp.einsum("ji,nj->ni", R_rl, r2)        # R_rl^T r2
+    cosp = jnp.sum(r1 * r2_in_l, -1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2_in_l, axis=-1),
+        1e-9)
+    parallax_ok = cosp < 0.9998                        # KannalaBrandt8.cpp:470
+
+    # DLT triangulation in normalized coords: P1 = [I|0], P2 = [R_rl|t_rl].
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], -1)
+    P2 = jnp.concatenate([R_rl, t_rl[:, None]], -1)
+    X = geometry.triangulate_dlt(P1, P2, r1[:, :2] / r1[:, 2:],
+                                 r2[:, :2] / r2[:, 2:])
+    z1 = X[:, 2]
+    X2 = jnp.einsum("ij,nj->ni", R_rl, X) + t_rl
+    z2 = X2[:, 2]
+    depth_ok = (z1 > 0) & (z2 > 0)
+
+    # Sigma-gated reprojection checks (5.991 * sigma^2 per view).
+    sigma2_l = SCALE ** (2.0 * level_l.astype(jnp.float32))
+    sigma2_r = SCALE ** (2.0 * level_r[bj_safe].astype(jnp.float32))
+    uv1 = cam.pinhole_project(cam_l, X)
+    uv2 = cam.pinhole_project(cam_r, X2)
+    e1 = jnp.sum((uv1 - xy_l) ** 2, -1)
+    e2 = jnp.sum((uv2 - xy_rm) ** 2, -1)
+    reproj_ok = (e1 <= 5.991 * sigma2_l) & (e2 <= 5.991 * sigma2_r)
+
+    ok = acc & valid_l & parallax_ok & depth_ok & reproj_ok
+    # Mutual-exclusion on the right keypoints: keep the lowest distance.
+    ok = ok & matching.mutual_filter_from_best(best, bj, ok, xy_r.shape[0])
+    return FisheyeStereoResult(
+        depth=jnp.where(ok, z1, -1.0),
+        match_j=jnp.where(ok, bj, -1),
+        valid=ok)

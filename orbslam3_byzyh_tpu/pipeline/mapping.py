@@ -159,6 +159,20 @@ def local_ba(state: ms.MapState, free_kf: jnp.ndarray, cam_params,
     return state._replace(kfs=kfs, lms=lms, obs=obs)
 
 
+@functools.partial(jax.jit, static_argnames=("model_id",))
+def global_ba(state: ms.MapState, cam_params, model_id: int = cam.PINHOLE):
+    """Full bundle adjustment: every valid keyframe free except the gauge
+    anchor KF 0 (RunGlobalBundleAdjustment,
+    /root/reference/src/LoopClosing.cc:2869 → GlobalBundleAdjustemnt,
+    src/Optimizer.cc:2813). The reference runs this in a detached thread and
+    merges corrections back via spanning-tree propagation; here the map is a
+    value, so the refined state simply replaces the old one (XLA's async
+    dispatch provides the tracking/GBA overlap)."""
+    free = state.kfs.valid & (
+        jnp.arange(state.kfs.valid.shape[0]) != 0)
+    return local_ba(state, free, cam_params, model_id)
+
+
 @jax.jit
 def fuse_duplicates(state: ms.MapState, kf_id: jnp.ndarray, cam_params,
                     img_w: float, img_h: float):

@@ -18,7 +18,8 @@ import numpy as np
 from ..ops import stereo as stereo_ops
 from . import system as base
 from .inertial_system import ImuConfig, MonoInertialSlam
-from .stereo_system import StereoConfig, StereoSlam
+from .stereo_system import (FisheyeStereoConfig, FisheyeStereoSlam,
+                            StereoConfig, StereoSlam)
 
 
 class StereoInertialSlam(MonoInertialSlam, StereoSlam):
@@ -57,6 +58,53 @@ class StereoInertialSlam(MonoInertialSlam, StereoSlam):
             pose = self._stereo_initialize(feats, stamp)
             # Single-KF metric init: the temporal chain starts at this KF
             # (no preintegration needed before it).
+        elif self.imu_ready:
+            pose = self._track_inertial(feats, stamp)
+        else:
+            pose = self._track_frame(feats, stamp)
+
+        self._last_stamp = stamp
+        if pose is not None:
+            self.trajectory.append((stamp, np.asarray(pose[0]),
+                                    np.asarray(pose[1])))
+        return pose
+
+
+class FisheyeStereoInertialSlam(MonoInertialSlam, FisheyeStereoSlam):
+    """Stereo-inertial on a non-rectified fisheye rig (TUM-VI 512x512
+    KB8 pair + IMU — the tum_vi stereo-inertial mains,
+    /root/reference/Examples/Stereo-Inertial/stereo_inertial_tum_vi.cc)."""
+
+    def __init__(self, config: FisheyeStereoConfig, imu_cfg: ImuConfig, **kw):
+        super().__init__(config, imu_cfg, **kw)
+        self._depth = None
+        self.imu_init_prior = (1e2, 1e5)
+        self.imu_init_min_time = 1.0
+        self.imu_fix_scale = True
+        self._cam2 = jnp.asarray(config.cam2, jnp.float32)
+        self._R_rl = jnp.asarray(config.R_rl, jnp.float32)
+        self._t_rl = jnp.asarray(config.t_rl, jnp.float32)
+
+    def track(self, img_left: np.ndarray, img_right: np.ndarray,
+              stamp: float, imu_data=None):
+        stamp = self._rel_stamp(stamp)
+        if imu_data is not None and len(imu_data[0]) > 0:
+            self.buf.append(np.asarray(imu_data[0], np.float64) - self.t0,
+                            imu_data[1], imu_data[2])
+        self._cur_stamp = stamp
+
+        feats = self._extract(img_left)
+        feats_r = self._extract(
+            img_right, cam_params=self._cam2,
+            kb8=self.cfg.kb8_2, dist=self.cfg.dist2)
+        m = stereo_ops.fisheye_stereo_match(
+            feats.xy, feats.level, feats.desc, feats.valid,
+            feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
+            self.cam_params, self._cam2, self._R_rl, self._t_rl)
+        self._depth = jnp.where(m.valid, m.depth, -1.0)
+
+        if self.status == base.NOT_INITIALIZED:
+            pose = self._stereo_initialize(feats, stamp)
         elif self.imu_ready:
             pose = self._track_inertial(feats, stamp)
         else:

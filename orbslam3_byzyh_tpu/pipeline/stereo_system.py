@@ -30,6 +30,10 @@ class StereoConfig(base.SlamConfig):
     bf: float = 40.0            # baseline * fx (Camera.bf)
     th_depth: float = 35.0      # close/far threshold factor (Camera.ThDepth)
     min_z: float = 0.3
+    # One-frame metric init gates (StereoInitialization :3438 needs >= 500
+    # depth points; scaled down for low-texture rigs/tests).
+    min_init_depth_points: int = 300
+    min_init_landmarks: int = 100
 
     @property
     def depth_threshold(self):
@@ -76,14 +80,14 @@ class StereoSlam(base.MonoSlam):
         needs >= 500 valid depth points."""
         depth = np.asarray(self._depth)
         good = (depth > 0) & np.asarray(feats.valid)
-        if good.sum() < 300:
+        if good.sum() < self.cfg.min_init_depth_points:
             return None
 
         self.state = ms.add_keyframe(self.state, 0, jnp.eye(3),
                                      jnp.zeros(3), stamp, feats)
         self.n_kf = 1
         n_new = self._create_depth_landmarks(0, feats, jnp.asarray(good))
-        if n_new < 100:
+        if n_new < self.cfg.min_init_landmarks:
             self.atlas.reset_active_map()
             return None
 
@@ -161,6 +165,43 @@ class StereoSlam(base.MonoSlam):
             jnp.where(seen, kp_of, self.cfg.n_features)].set(True, mode="drop")
         close = self._depth < self.cfg.depth_threshold
         self._create_depth_landmarks(kf_id, feats, ~bound & close)
+
+
+@dataclasses.dataclass
+class FisheyeStereoConfig(StereoConfig):
+    """Non-rectified stereo rig with per-camera models (TUM-VI 512x512
+    Kannala-Brandt pair — the reference's fisheye stereo path,
+    Frame::ComputeStereoFishEyeMatches, Frame.h:349)."""
+    cam2: np.ndarray = None       # (4,) right [fx fy cx cy]
+    kb8_2: np.ndarray = None      # (4,) right KB8 coeffs (None = pinhole)
+    dist2: np.ndarray = None      # right radtan (None = none)
+    R_rl: np.ndarray = None       # left-cam -> right-cam rotation
+    t_rl: np.ndarray = None       # left-cam -> right-cam translation
+
+
+class FisheyeStereoSlam(StereoSlam):
+    """Stereo SLAM on a non-rectified (e.g. fisheye) rig: descriptor
+    matching + two-view triangulation replaces the rectified row search."""
+
+    def __init__(self, config: FisheyeStereoConfig):
+        super().__init__(config)
+        self._cam2 = jnp.asarray(config.cam2, jnp.float32)
+        self._R_rl = jnp.asarray(config.R_rl, jnp.float32)
+        self._t_rl = jnp.asarray(config.t_rl, jnp.float32)
+
+    def track(self, img_left: np.ndarray, img_right: np.ndarray,
+              stamp: float):
+        stamp = self._rel_stamp(stamp)
+        feats = self._extract(img_left)
+        feats_r = self._extract(
+            img_right, cam_params=self._cam2,
+            kb8=self.cfg.kb8_2, dist=self.cfg.dist2)
+        m = stereo_ops.fisheye_stereo_match(
+            feats.xy, feats.level, feats.desc, feats.valid,
+            feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
+            self.cam_params, self._cam2, self._R_rl, self._t_rl)
+        self._depth = jnp.where(m.valid, m.depth, -1.0)
+        return self._track_with_depth(feats, stamp)
 
 
 @dataclasses.dataclass

@@ -140,10 +140,17 @@ class MonoSlam:
         self.atlas.counts().n_lm = v
 
     # ------------------------------------------------------------------
-    def _extract(self, img: np.ndarray) -> fast_orb.FrameFeatures:
+    def _extract(self, img: np.ndarray, cam_params=None, kb8=None,
+                 dist=None) -> fast_orb.FrameFeatures:
+        """Extract ORB features and rectify keypoints onto the (virtual)
+        pinhole. Optional per-camera overrides support heterogeneous stereo
+        rigs (fisheye right camera, stereo_system.FisheyeStereoSlam)."""
+        cam_params = self.cam_params if cam_params is None else cam_params
+        kb8 = self.cfg.kb8 if kb8 is None else kb8
+        dist = self.dist if dist is None else dist
         feats = fast_orb.extract(jnp.asarray(img, jnp.float32),
                                  n_features=self.cfg.n_features)
-        if self.cfg.kb8 is not None:
+        if kb8 is not None:
             # Kannala-Brandt fisheye: rectify detected keypoints onto the
             # virtual pinhole (fx, fy, cx, cy). The reference instead keeps
             # the KB8 model in every projection (GeometricCamera plumbing);
@@ -151,12 +158,13 @@ class MonoSlam:
             # one kernel — KB8 stays available natively in the solvers via
             # ops/camera.py model_id for residual-level parity work.
             kb8_params = jnp.concatenate([
-                self.cam_params, jnp.asarray(self.cfg.kb8, jnp.float32)])
+                jnp.asarray(cam_params), jnp.asarray(kb8, jnp.float32)])
             ray = cam.kb8_unproject(kb8_params, feats.xy)
-            und = cam.pinhole_project(self.cam_params, ray)
+            und = cam.pinhole_project(jnp.asarray(cam_params), ray)
             feats = feats._replace(xy=und)
-        elif self.dist is not None:
-            und = cam.undistort_pixels(self.cam_params, self.dist, feats.xy)
+        elif dist is not None:
+            und = cam.undistort_pixels(jnp.asarray(cam_params),
+                                       jnp.asarray(dist), feats.xy)
             feats = feats._replace(xy=und)
         return feats
 
@@ -429,14 +437,21 @@ class MonoSlam:
         self._maybe_cull_keyframes(kf_id)
         self.last_kf_id = kf_id
 
+        # KF database feeds BOTH relocalization and loop detection
+        # (KeyFrameDatabase, used by Tracking::Relocalization and
+        # LoopClosing alike), so insertion is not gated on loop closing.
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(self.state, kf_id)
         # Loop closing (LoopClosing::Run per-KF work, :100).
         if self.loop_closer is not None and self.cfg.use_loop_closing:
-            self.loop_closer.add_keyframe(self.state, kf_id)
             det = self.loop_closer.detect(self.state, kf_id, self.n_kf)
             if det is not None:
                 cand, corr = det
                 self.state = self.loop_closer.close(
                     self.state, kf_id, cand, corr, self.n_kf)
+                # Global BA after loop correction
+                # (RunGlobalBundleAdjustment, LoopClosing.cc:2869).
+                self.state = mapping.global_ba(self.state, self.cam_params)
                 # Refresh the tracking context to the corrected pose.
                 self._last["R"] = self.state.kfs.R[kf_id]
                 self._last["t"] = self.state.kfs.t[kf_id]

@@ -22,10 +22,25 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# NOTE: do NOT enable the persistent compile cache here — XLA:CPU AOT
+# artifacts bake in compile-machine vector features and warn/SIGILL when the
+# execution host differs (observed with +prefer-no-scatter). The cache is for
+# the slow remote-TPU compiler only (bench.py / __graft_entry__.py).
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Free compiled executables between test modules: one long-lived
+    process accumulating ~100 XLA:CPU compilations eventually segfaults
+    inside backend_compile (observed at test #120 of the full suite)."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture
