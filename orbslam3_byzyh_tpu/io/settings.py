@@ -48,6 +48,18 @@ class OrbSettings:
 
 
 @dataclasses.dataclass
+class ChessboardSettings:
+    """Fork-specific chessboard world-frame init keys (read in the Tracking
+    ctor, /root/reference/src/Tracking.cc:158-185)."""
+    width: int
+    height: int
+    square_size: float
+    start_x: float = 0.0
+    start_y: float = 0.0
+    z_height: float = 0.0
+
+
+@dataclasses.dataclass
 class SlamSettings:
     cam1: CameraSettings
     cam2: Optional[CameraSettings]
@@ -58,6 +70,7 @@ class SlamSettings:
     bf: Optional[float] = None      # stereo baseline*fx
     th_depth: Optional[float] = None
     Tlr: Optional[np.ndarray] = None
+    chessboard: Optional[ChessboardSettings] = None
 
 
 def _read(fs, key, default=None, required=False):
@@ -148,10 +161,25 @@ def load_settings(path: str) -> SlamSettings:
         bf = _read(fs, "Camera.bf")
         th_depth = _read(fs, "Camera.ThDepth") or _read(fs, "Stereo.ThDepth")
         Tlr = _read(fs, "Stereo.T_c1_c2")
+
+        chessboard = None
+        use_cb = _read(fs, "UseChessboardInit")
+        if isinstance(use_cb, str):
+            use_cb = use_cb.strip().lower() in ("1", "true", "yes", "on")
+        if use_cb:
+            chessboard = ChessboardSettings(
+                width=int(_read(fs, "ChessboardWidth", 9)),
+                height=int(_read(fs, "ChessboardHeight", 6)),
+                square_size=float(_read(fs, "SquareSize", 0.025)),
+                start_x=float(_read(fs, "StartX", 0.0)),
+                start_y=float(_read(fs, "StartY", 0.0)),
+                z_height=float(_read(fs, "ZHeight", 0.0)))
+
         return SlamSettings(
             cam1=cam1, cam2=cam2, imu=imu, orb=orb, fps=fps, rgb=rgb,
             bf=float(bf) if bf is not None else None,
             th_depth=float(th_depth) if th_depth is not None else None,
-            Tlr=np.asarray(Tlr, np.float64) if Tlr is not None else None)
+            Tlr=np.asarray(Tlr, np.float64) if Tlr is not None else None,
+            chessboard=chessboard)
     finally:
         fs.release()

@@ -177,6 +177,12 @@ class MonoInertialSlam(MonoSlam):
         self.kf_preint = [None] * mk               # preint prev->this
         self.imu_ready = False
         self.viba_stage = 0                        # 0 init, 1 VIBA1, 2 VIBA2
+        self._next_scale_refine = 25.0             # mono ScaleRefinement
+        if self.loop_closer is not None:
+            # After IMU init the map is metric and gravity-aligned: SE3
+            # corrections + scale-sanity-gated merges (the reference's
+            # inertial loop path; 4DoF graph variant).
+            self.loop_closer.cfg.fix_scale = True
         self.map_first_kf = 0
         # Last-frame body state (valid once imu_ready).
         self._body = None           # (R_wb, p_w, v_w)
@@ -275,6 +281,12 @@ class MonoInertialSlam(MonoSlam):
     # ------------------------------------------------------------------
     # IMU initialization + VIBA schedule (LocalMapping.cc:236-294)
     # ------------------------------------------------------------------
+    def _loops_allowed(self) -> bool:
+        """Inertial loop/merge guard: the reference requires the map to be
+        IMU-initialized AND past BA2 before attempting corrections
+        (LoopClosing.cc:407-430)."""
+        return self.imu_ready and self.viba_stage >= 2
+
     def _imu_schedule(self, kf_id: int, stamp: float):
         t0 = self._trajectory_kf_stamp(self.map_first_kf)
         span = stamp - t0
@@ -289,6 +301,51 @@ class MonoInertialSlam(MonoSlam):
         elif self.viba_stage == 2 and span > 15.0:
             self._full_inertial_ba(kf_id, prior_g=0.0, prior_a=0.0)
             self.viba_stage = 3
+        elif (self.viba_stage >= 3 and not self.imu_fix_scale
+                and span > self._next_scale_refine):
+            # Monocular scale drift check at 25/35/... s
+            # (ScaleRefinement, LocalMapping.cc:1846 + :298-308).
+            self._scale_refinement(kf_id)
+            self._next_scale_refine += 10.0
+
+    def _scale_refinement(self, kf_id: int):
+        """Scale+gravity-only inertial re-fit (InertialOptimization scale
+        variant, src/Optimizer.cc:4067): biases pinned by huge priors; apply
+        the rebase only if the correction is non-trivial (|s-1| > 0.002,
+        LocalMapping.cc:1866)."""
+        ids = self._chain(kf_id)
+        if len(ids) < 4 or any(self.kf_preint[k] is None for k in ids[1:]):
+            return
+        kfs = self.state.kfs
+        R_np, t_np = np.asarray(kfs.R), np.asarray(kfs.t)
+        R_wb = np.zeros((len(ids), 3, 3), np.float32)
+        p_w = np.zeros((len(ids), 3), np.float32)
+        for i, k in enumerate(ids):
+            R_wb[i], p_w[i] = body_from_cam(R_np[k], t_np[k],
+                                            self.R_bc, self.t_bc)
+        preints = inertial._stack_preints([self.kf_preint[k]
+                                           for k in ids[1:]])
+        res = inertial.inertial_only_optimization(
+            jnp.asarray(R_wb), jnp.asarray(p_w), preints,
+            prior_g=1e10, prior_a=1e10, fix_scale=False)
+        s = float(res.scale)
+        if not np.isfinite(s) or s < 1e-1 or abs(s - 1.0) <= 0.002:
+            return
+        R_gw = np.asarray(res.R_wg).T.astype(np.float32)
+        self._rebase_gravity_scale(R_gw, s)
+        for k in ids:
+            if self.kf_vel[k] is not None:
+                self.kf_vel[k] = s * (R_gw @ self.kf_vel[k])
+        if self._body is not None:
+            Rb, pb = body_from_cam(np.asarray(self.state.kfs.R[kf_id]),
+                                   np.asarray(self.state.kfs.t[kf_id]),
+                                   self.R_bc, self.t_bc)
+            self._body = (jnp.asarray(Rb), jnp.asarray(pb),
+                          jnp.asarray(self.kf_vel[kf_id]))
+        if self._last is not None:
+            self._last["R"] = self.state.kfs.R[kf_id]
+            self._last["t"] = self.state.kfs.t[kf_id]
+        self._vel = None
 
     def _chain(self, kf_id: int, max_len: int = 100000):
         ids = []
@@ -622,6 +679,7 @@ class MonoInertialSlam(MonoSlam):
         super()._handle_lost(feats, stamp)
         self.imu_ready = False
         self.viba_stage = 0
+        self._next_scale_refine = 25.0
         self._body = None
         self._bias = np.zeros(6, np.float32)
         self.kf_prev[:] = -1

@@ -41,14 +41,56 @@ class LoopCloserConfig:
 
 
 class LoopCloser:
-    """Host-orchestrated loop closing over a MapState + KeyframeDatabase."""
+    """Host-orchestrated loop closing over a MapState + KeyframeDatabase.
+
+    Multi-map aware: one database per Atlas map (the reference's single
+    KeyFrameDatabase spans maps via per-KF map pointers,
+    KeyFrameDatabase.h:91; with array-state maps, one db per map keeps KF
+    slot ids unambiguous). ``detect`` mines the ACTIVE map (loop path),
+    ``detect_merge`` mines the other maps (LoopClosing merge branch,
+    /root/reference/src/LoopClosing.cc:383 candidate-in-different-map)."""
 
     def __init__(self, voc: bow.Vocabulary, max_kf: int, n_feat: int,
                  cfg: LoopCloserConfig | None = None):
-        self.db = KeyframeDatabase(voc, max_kf, n_feat)
+        self.voc = voc
+        self.dbs = {0: KeyframeDatabase(voc, max_kf, n_feat)}
+        self.active = 0
         self.cfg = cfg or LoopCloserConfig()
         self.max_kf = max_kf
         self.n_feat = n_feat
+
+    @property
+    def db(self) -> KeyframeDatabase:
+        return self.dbs[self.active]
+
+    # ------------------------------------------------------------------
+    # Atlas lifecycle mirroring
+    # ------------------------------------------------------------------
+    def switch_map(self, map_idx: int, fresh: bool = True):
+        """Active map changed (CreateMapInAtlas / multi-session boundary)."""
+        self.active = map_idx
+        if fresh or map_idx not in self.dbs:
+            self.dbs[map_idx] = KeyframeDatabase(self.voc, self.max_kf,
+                                                 self.n_feat)
+
+    def reset_active(self):
+        """Active map was reset in place (ResetActiveMap)."""
+        self.dbs[self.active] = KeyframeDatabase(self.voc, self.max_kf,
+                                                 self.n_feat)
+
+    def on_maps_merged(self, kept_idx: int, removed_idx: int,
+                       state: ms.MapState, kf_lo: int, kf_hi: int):
+        """Map ``removed_idx`` was welded into ``kept_idx``; transplanted
+        keyframes occupy slots [kf_lo, kf_hi) of the merged state. Indices
+        above removed_idx shift down by one (Atlas.merge deletes the map);
+        ``kept_idx`` is the Atlas's post-deletion current index."""
+        self.dbs.pop(removed_idx, None)
+        self.dbs = {(i - 1 if i > removed_idx else i): d
+                    for i, d in self.dbs.items()}
+        self.active = kept_idx
+        db = self.dbs[self.active]
+        for k in range(kf_lo, kf_hi):
+            db.add(k, state.kfs.kp_desc[k], state.kfs.kp_valid[k])
 
     # ------------------------------------------------------------------
     def add_keyframe(self, state: ms.MapState, kf_id: int):
@@ -74,28 +116,55 @@ class LoopCloser:
         for cand, score in zip(ids, scores):
             if cand < 0 or not bool(state.kfs.valid[cand]):
                 continue
-            m = self._verify(state, kf_id, int(cand), words_q)
+            m = self._verify(state, kf_id, state, int(cand), self.db,
+                             words_q)
             if m is not None:
                 return int(cand), m
         return None
 
     # ------------------------------------------------------------------
-    def _verify(self, state: ms.MapState, q: int, c: int, words_q):
-        """BoW matching + Sim3 RANSAC + projection count. Returns the Sim3
-        correction (R, t, s mapping drifted world -> loop world) or None."""
+    def detect_merge(self, state: ms.MapState, kf_id: int, atlas):
+        """Mine the NON-active maps for a common region (the merge branch of
+        NewDetectCommonRegions). Returns (other_map_idx, candidate_kf,
+        (R, t, s, n_inl) with x_other = s R x_active + t) or None."""
         kfs = state.kfs
-        pm = self.db.word_pair_mask(words_q, c)
+        for idx, db in sorted(self.dbs.items()):
+            if idx == self.active or idx >= len(atlas.maps):
+                continue
+            if atlas.meta[idx].n_kf < 3:
+                continue
+            other = atlas.maps[idx]
+            ids, scores, words_q = db.query(
+                kfs.kp_desc[kf_id], kfs.kp_valid[kf_id], top_n=3)
+            for cand in ids:
+                if cand < 0 or not bool(other.kfs.valid[cand]):
+                    continue
+                m = self._verify(state, kf_id, other, int(cand), db, words_q)
+                if m is not None:
+                    if self.cfg.fix_scale and not (0.9 <= m[2] <= 1.1):
+                        # Inertial merge scale sanity (LoopClosing.cc:168).
+                        continue
+                    return idx, int(cand), m
+        return None
+
+    # ------------------------------------------------------------------
+    def _verify(self, state_q: ms.MapState, q: int, state_c: ms.MapState,
+                c: int, db_c: KeyframeDatabase, words_q):
+        """BoW matching + Sim3 RANSAC + projection count. Returns the Sim3
+        correction (R, t, s mapping query world -> candidate world) or None.
+        state_q/state_c may be the same map (loop) or different (merge)."""
+        pm = db_c.word_pair_mask(words_q, c)
         mj, dist = matching.match(
-            kfs.kp_desc[q], kfs.kp_desc[c],
-            kfs.kp_valid[q], kfs.kp_valid[c],
+            state_q.kfs.kp_desc[q], state_c.kfs.kp_desc[c],
+            state_q.kfs.kp_valid[q], state_c.kfs.kp_valid[c],
             pair_mask=pm, max_dist=matching.TH_LOW, ratio=0.75, mutual=True)
         mj_np = np.asarray(mj)
         if (mj_np >= 0).sum() < self.cfg.min_bow_matches:
             return None
 
         # Landmark positions bound to the matched keypoints on both sides.
-        seen_q, kp_q = ms.landmarks_seen_by(state, q)
-        seen_c, kp_c = ms.landmarks_seen_by(state, c)
+        seen_q, kp_q = ms.landmarks_seen_by(state_q, q)
+        seen_c, kp_c = ms.landmarks_seen_by(state_c, c)
         # kp -> lm maps.
         lm_of_kp_q = np.full(self.n_feat, -1, np.int64)
         lm_of_kp_c = np.full(self.n_feat, -1, np.int64)
@@ -113,9 +182,8 @@ class LoopCloser:
         if len(pairs) < self.cfg.min_sim3_inliers:
             return None
         pairs = np.asarray(pairs)
-        pos = np.asarray(state.lms.pos)
-        pa = pos[pairs[:, 0]]   # query-side landmark positions (drifted)
-        pb = pos[pairs[:, 1]]   # candidate-side (loop-consistent)
+        pa = np.asarray(state_q.lms.pos)[pairs[:, 0]]   # query-side (drifted)
+        pb = np.asarray(state_c.lms.pos)[pairs[:, 1]]   # candidate-side
         res = sim3_solve.sim3_ransac(
             jax.random.PRNGKey(q), jnp.asarray(pa), jnp.asarray(pb),
             jnp.ones(len(pairs), bool), th=0.1,

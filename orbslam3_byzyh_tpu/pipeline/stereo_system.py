@@ -47,6 +47,10 @@ class StereoSlam(base.MonoSlam):
     def __init__(self, config: StereoConfig):
         super().__init__(config)
         self._depth = None          # (N,) per-keypoint depth of current frame
+        if self.loop_closer is not None:
+            # Metric depth fixes scale: SE3 pose graph + scale-gated merges
+            # (bFixScale plumbing, OptimizeEssentialGraph / Sim3Solver).
+            self.loop_closer.cfg.fix_scale = True
 
     # ------------------------------------------------------------------
     def track(self, img_left: np.ndarray, img_right: np.ndarray,

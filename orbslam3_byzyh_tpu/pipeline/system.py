@@ -443,7 +443,8 @@ class MonoSlam:
         if self.loop_closer is not None:
             self.loop_closer.add_keyframe(self.state, kf_id)
         # Loop closing (LoopClosing::Run per-KF work, :100).
-        if self.loop_closer is not None and self.cfg.use_loop_closing:
+        if (self.loop_closer is not None and self.cfg.use_loop_closing
+                and self._loops_allowed()):
             det = self.loop_closer.detect(self.state, kf_id, self.n_kf)
             if det is not None:
                 cand, corr = det
@@ -456,10 +457,50 @@ class MonoSlam:
                 self._last["R"] = self.state.kfs.R[kf_id]
                 self._last["t"] = self.state.kfs.t[kf_id]
                 self._vel = None
+            elif len(self.atlas.maps) > 1:
+                # Merge branch: common region in ANOTHER map
+                # (LoopClosing::MergeLocal, :1590).
+                mdet = self.loop_closer.detect_merge(self.state, kf_id,
+                                                     self.atlas)
+                if mdet is not None:
+                    self._merge_maps(kf_id, *mdet)
 
         # Rebind current-frame bindings to post-BA state (pose refreshed).
         self._last["R"] = self.state.kfs.R[kf_id]
         self._last["t"] = self.state.kfs.t[kf_id]
+
+    def _loops_allowed(self) -> bool:
+        """Loop/merge detection gate. Inertial systems require the map to
+        be past VIBA2 (LoopClosing.cc:407-430 inertial guard); pure visual
+        has no extra condition."""
+        return True
+
+    def _merge_maps(self, kf_id: int, other_idx: int, cand: int, corr):
+        """Weld the matched OLD map into the active one + refine
+        (MergeLocal, /root/reference/src/LoopClosing.cc:1590: welding-window
+        duplication + merge BA; here the weld is an array concat under the
+        inverse Sim3 followed by a full-map BA — cheap once batched)."""
+        R_m, t_m, s_m, _ = corr            # x_other = s R x_active + t
+        # Invert: x_active = (1/s) R^T (x_other - t).
+        R_i = np.asarray(R_m).T
+        s_i = 1.0 / float(s_m)
+        t_i = -s_i * (R_i @ np.asarray(t_m))
+        kf_lo = self.n_kf
+        self.atlas.merge(other_idx, R_i, t_i, s_i)
+        kf_hi = self.n_kf
+        self.loop_closer.on_maps_merged(self.atlas.current, other_idx,
+                                        self.state, kf_lo, kf_hi)
+        # Duplicate fusion in the welding window (SearchAndFuse, :2689):
+        # transplanted landmarks re-observed by the current KF replace/bind.
+        self.state = mapping.fuse_duplicates(
+            self.state, jnp.asarray(kf_id, jnp.int32), self.cam_params,
+            float(self.cfg.width), float(self.cfg.height))
+        # Merge BA over the welded map (merge variant of
+        # LocalBundleAdjustment, src/Optimizer.cc:5195).
+        self.state = mapping.global_ba(self.state, self.cam_params)
+        self._last["R"] = self.state.kfs.R[kf_id]
+        self._last["t"] = self.state.kfs.t[kf_id]
+        self._vel = None
 
     def _maybe_cull_keyframes(self, kf_id: int):
         """KeyFrameCulling hook (inertial systems skip it: culling a chain
@@ -564,8 +605,12 @@ class MonoSlam:
         (Tracking.cc:3349-3378 + CreateMapInAtlas)."""
         if self.n_kf < 10:
             self.atlas.reset_active_map()
+            if self.loop_closer is not None:
+                self.loop_closer.reset_active()
         else:
             self.atlas.create_new_map()
+            if self.loop_closer is not None:
+                self.loop_closer.switch_map(self.atlas.current)
         self.status = NOT_INITIALIZED
         self.lost_frames = 0
         self._init_feats = None

@@ -60,6 +60,17 @@ def main():
         vocabulary=voc,
         use_loop_closing=not args.no_loop_closing,
         min_init_matches=args.min_init_matches)
+    if cfg_yaml.chessboard is not None:
+        # Fork feature: chessboard world-frame initialization
+        # (UseChessboardInit keys, /root/reference/src/Tracking.cc:158-185).
+        # The rebase transforms the whole map, so the trajectory writer
+        # below emits chessboard-world poses — the fork's
+        # SaveTrajectoryEuRoCWithChessboard contract (System.h:162-163).
+        from orbslam3_byzyh_tpu.utils.chessboard import ChessboardConfig
+        cb = cfg_yaml.chessboard
+        cfg.chessboard = ChessboardConfig(
+            width=cb.width, height=cb.height, square_size=cb.square_size,
+            start_x=cb.start_x, start_y=cb.start_y, z_height=cb.z_height)
     slam = MonoSlam(cfg)
     timers = StageTimers()
 

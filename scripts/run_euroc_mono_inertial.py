@@ -25,8 +25,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("settings")
-    ap.add_argument("sequence")
-    ap.add_argument("--timestamps", default=None)
+    ap.add_argument("sequence", nargs="+")
+    ap.add_argument("--timestamps", nargs="*", default=None)
     ap.add_argument("--output-name", default="output")
     ap.add_argument("--vocabulary", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
@@ -49,11 +49,6 @@ def main():
     cfg_yaml = settings.load_settings(args.settings)
     if cfg_yaml.imu is None:
         raise SystemExit("settings file has no IMU block")
-    seq = euroc.load_euroc(args.sequence, args.timestamps)
-    if seq.imu_stamps is None:
-        raise SystemExit("sequence has no mav0/imu0/data.csv")
-    n_frames = len(seq) if args.max_frames is None else min(
-        len(seq), args.max_frames)
 
     voc = None
     if args.vocabulary:
@@ -81,23 +76,39 @@ def main():
     timers = StageTimers()
     clahe = cv2.createCLAHE(3.0, (8, 8)) if args.clahe else None
 
-    pf = ImagePrefetcher(seq.image_paths[:n_frames])
-    t_prev = None
+    # Multi-sequence = multi-session Atlas runs (SLAM.ChangeDataset()
+    # between sequences, mono_inertial_euroc.cc multi-arg pattern).
+    n_total = 0
     t_start = time.perf_counter()
-    for idx, img in pf:
-        t = float(seq.stamps[idx])
-        if clahe is not None:
-            img = clahe.apply(img.astype(np.uint8)).astype(np.float32)
-        imu_data = seq.imu_between(t_prev, t) if t_prev is not None else None
-        with timers.time("total_track"):
-            slam.track(img, t, imu_data)
-        t_prev = t
+    for si, seq_dir in enumerate(args.sequence):
+        if si > 0:
+            slam.change_dataset()
+        ts_file = (args.timestamps[si] if args.timestamps
+                   and si < len(args.timestamps) else None)
+        seq = euroc.load_euroc(seq_dir, ts_file)
+        if seq.imu_stamps is None:
+            raise SystemExit(f"{seq_dir} has no mav0/imu0/data.csv")
+        n_frames = len(seq) if args.max_frames is None else min(
+            len(seq), args.max_frames)
+        n_total += n_frames
+        pf = ImagePrefetcher(seq.image_paths[:n_frames])
+        t_prev = None
+        for idx, img in pf:
+            t = float(seq.stamps[idx])
+            if clahe is not None:
+                img = clahe.apply(img.astype(np.uint8)).astype(np.float32)
+            imu_data = (seq.imu_between(t_prev, t)
+                        if t_prev is not None else None)
+            with timers.time("total_track"):
+                slam.track(img, t, imu_data)
+            t_prev = t
+        pf.close()
     wall = time.perf_counter() - t_start
-    pf.close()
 
-    print(f"tracked {len(slam.trajectory)}/{n_frames} frames in {wall:.1f}s "
-          f"({n_frames / wall:.1f} fps); keyframes={slam.n_kf} "
-          f"landmarks={slam.n_lm} imu_ready={slam.imu_ready}")
+    print(f"tracked {len(slam.trajectory)}/{n_total} frames in {wall:.1f}s "
+          f"({n_total / wall:.1f} fps); keyframes={slam.n_kf} "
+          f"landmarks={slam.n_lm} maps={len(slam.atlas.maps)} "
+          f"imu_ready={slam.imu_ready}")
     print(timers.report())
 
     stamps = [s + slam.t0 for s, _, _ in slam.trajectory]

@@ -99,3 +99,38 @@ class TestMonoInertial:
         v_est = np.asarray(slam._body[2])
         # Velocity is in the estimated world frame; compare magnitudes.
         assert abs(np.linalg.norm(v_est) - np.linalg.norm(v_gt)) < 0.3
+
+
+class TestScaleRefinement:
+    """Monocular ScaleRefinement (LocalMapping.cc:1846): a deliberately
+    mis-scaled map must be pulled back toward metric by the scheduled
+    scale+gravity re-fit."""
+
+    def test_corrects_injected_scale_error(self, vi_run):
+        slam, world, _ = vi_run
+        assert slam.imu_ready
+        kf_id = slam.last_kf_id
+        # Inject a 10% scale error into the (metric) map, exactly the
+        # drift ScaleRefinement exists to fix.
+        s_err = 1.10
+        kfs, lms = slam.state.kfs, slam.state.lms
+        slam.state = slam.state._replace(
+            kfs=kfs._replace(t=s_err * kfs.t),
+            lms=lms._replace(pos=s_err * lms.pos,
+                             min_dist=s_err * lms.min_dist,
+                             max_dist=s_err * lms.max_dist))
+        for k in range(slam.n_kf):
+            if slam.kf_vel[k] is not None:
+                slam.kf_vel[k] = s_err * slam.kf_vel[k]
+
+        slam._scale_refinement(kf_id)
+
+        # The refinement solves the residual scale (IMU is metric truth):
+        # keyframe translations must shrink back by ~1/s_err.
+        t_new = np.asarray(slam.state.kfs.t[:slam.n_kf])
+        t_old = s_err * np.asarray(kfs.t[:slam.n_kf])
+        norms_old = np.linalg.norm(t_old, axis=-1)
+        sel = norms_old > 0.1
+        ratios = np.linalg.norm(t_new[sel], axis=-1) / norms_old[sel]
+        med = np.median(ratios)
+        assert abs(med - 1.0 / s_err) < 0.05, med

@@ -114,3 +114,38 @@ class TestCheckpoint:
         open(f, "wb").write(bytes(data))
         with pytest.raises(IOError):
             checkpoint.load_atlas(path)
+
+
+class TestChessboardSettings:
+    def test_chessboard_keys_parsed(self, tmp_path):
+        yaml = """%YAML:1.0
+---
+Camera.type: "PinHole"
+Camera.fx: 500.0
+Camera.fy: 500.0
+Camera.cx: 320.0
+Camera.cy: 240.0
+Camera.width: 640
+Camera.height: 480
+Camera.fps: 30
+UseChessboardInit: 1
+ChessboardWidth: 11
+ChessboardHeight: 8
+SquareSize: 0.03
+StartX: 0.1
+StartY: 0.2
+ZHeight: 0.5
+"""
+        p = str(tmp_path / "cb.yaml")
+        open(p, "w").write(yaml)
+        s = settings.load_settings(p)
+        cb = s.chessboard
+        assert cb is not None
+        assert (cb.width, cb.height) == (11, 8)
+        assert abs(cb.square_size - 0.03) < 1e-9
+        assert (cb.start_x, cb.start_y, cb.z_height) == (0.1, 0.2, 0.5)
+
+    def test_chessboard_absent_by_default(self):
+        s = settings.load_settings(
+            "/root/reference/Examples/Monocular/EuRoC.yaml")
+        assert s.chessboard is None
