@@ -461,9 +461,8 @@ def extract(img: jnp.ndarray, n_features: int = 1024, n_levels: int = 8,
             # In-kernel pattern rotation + patch-local sampling on-chip
             # (ops/pallas_brief.py) — the XLA gather alternative costs
             # ~10 ns/element and the (K, 512) position math another ~2 ms.
-            y0, x0 = pallas_brief.aligned_origins(ix, iy, h, w)
             samples_all.append(pallas_brief.brief_sample(
-                blurred, y0, x0, jnp.cos(angle), jnp.sin(angle),
+                blurred, ix, iy, jnp.cos(angle), jnp.sin(angle),
                 jnp.round(xy[:, 1]), jnp.round(xy[:, 0])))
         else:
             gy, gx = _pattern_positions(xy, angle, w, h)
