@@ -71,6 +71,10 @@ class SlamSettings:
     th_depth: Optional[float] = None
     Tlr: Optional[np.ndarray] = None
     chessboard: Optional[ChessboardSettings] = None
+    # Atlas persistence (System.SaveAtlasToFile / LoadAtlasFromFile,
+    # /root/reference/include/Settings.h:115-116).
+    save_atlas: Optional[str] = None
+    load_atlas: Optional[str] = None
 
 
 def _read(fs, key, default=None, required=False):
@@ -175,11 +179,16 @@ def load_settings(path: str) -> SlamSettings:
                 start_y=float(_read(fs, "StartY", 0.0)),
                 z_height=float(_read(fs, "ZHeight", 0.0)))
 
+        save_atlas = _read(fs, "System.SaveAtlasToFile")
+        load_atlas = _read(fs, "System.LoadAtlasFromFile")
+
         return SlamSettings(
             cam1=cam1, cam2=cam2, imu=imu, orb=orb, fps=fps, rgb=rgb,
             bf=float(bf) if bf is not None else None,
             th_depth=float(th_depth) if th_depth is not None else None,
             Tlr=np.asarray(Tlr, np.float64) if Tlr is not None else None,
-            chessboard=chessboard)
+            chessboard=chessboard,
+            save_atlas=str(save_atlas) if save_atlas else None,
+            load_atlas=str(load_atlas) if load_atlas else None)
     finally:
         fs.release()

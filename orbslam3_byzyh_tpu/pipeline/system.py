@@ -469,6 +469,38 @@ class MonoSlam:
         self._last["R"] = self.state.kfs.R[kf_id]
         self._last["t"] = self.state.kfs.t[kf_id]
 
+    # ------------------------------------------------------------------
+    # Atlas persistence (System::SaveAtlas/LoadAtlas, System.cc:1484,1535)
+    # ------------------------------------------------------------------
+    def save_atlas_checkpoint(self, path: str):
+        from ..io import checkpoint
+        checkpoint.save_atlas(path, self.atlas)
+
+    def load_atlas_checkpoint(self, path: str):
+        """Resume from a saved atlas: tracking starts in a FRESH map; the
+        loaded maps are re-joined through relocalization or the merge-back
+        path once their places are revisited (the reference relocalizes
+        into the loaded atlas the same way, System.cc:179 + Tracking)."""
+        from ..io import checkpoint
+        self.atlas = checkpoint.load_atlas(path)
+        if self.loop_closer is not None:
+            self.loop_closer.dbs = {}
+            for idx, (state, meta) in enumerate(
+                    zip(self.atlas.maps, self.atlas.meta)):
+                self.loop_closer.switch_map(idx)
+                for k in range(meta.n_kf):
+                    self.loop_closer.add_keyframe(state, k)
+        self.atlas.create_new_map()
+        if self.loop_closer is not None:
+            self.loop_closer.switch_map(self.atlas.current)
+        self.status = NOT_INITIALIZED
+        self._init_feats = None
+        self._init_stamp = None
+        self._last = None
+        self._vel = None
+        self.last_kf_id = -1
+        self.frames_since_kf = 0
+
     def _loops_allowed(self) -> bool:
         """Loop/merge detection gate. Inertial systems require the map to
         be past VIBA2 (LoopClosing.cc:407-430 inertial guard); pure visual

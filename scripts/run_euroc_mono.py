@@ -72,6 +72,11 @@ def main():
             width=cb.width, height=cb.height, square_size=cb.square_size,
             start_x=cb.start_x, start_y=cb.start_y, z_height=cb.z_height)
     slam = MonoSlam(cfg)
+    # Atlas persistence keys (System.SaveAtlasToFile/LoadAtlasFromFile).
+    if cfg_yaml.load_atlas:
+        slam.load_atlas_checkpoint(cfg_yaml.load_atlas)
+        print(f"loaded atlas from {cfg_yaml.load_atlas} "
+              f"({len(slam.atlas.maps) - 1} stored maps)")
     timers = StageTimers()
 
     n_total = 0
@@ -106,6 +111,9 @@ def main():
     trajectory.save_tum(f"kf_{args.output_name}.txt", ks, kR, kt,
                         stamp_scale=1e9)
     timers.save("ExecTimeMean.txt")
+    if cfg_yaml.save_atlas:
+        slam.save_atlas_checkpoint(cfg_yaml.save_atlas)
+        print(f"saved atlas to {cfg_yaml.save_atlas}")
 
 
 if __name__ == "__main__":

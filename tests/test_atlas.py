@@ -86,3 +86,49 @@ class TestAtlas:
             np.testing.assert_allclose(lhs, rhs, atol=1e-4)
         # Observation kf ids shifted.
         assert int(at.state.obs.kf[20, 0]) == 3
+
+
+class TestAtlasResume:
+    """Save -> load -> relocalize/merge back (System::SaveAtlas/LoadAtlas +
+    resume-into-loaded-atlas semantics)."""
+
+    def test_save_load_resume_merges_back(self, tmp_path, rng):
+        import jax.numpy as jnp
+
+        from orbslam3_byzyh_tpu.ops import bow, fast_orb
+        from orbslam3_byzyh_tpu.pipeline import system as base
+        from orbslam3_byzyh_tpu.pipeline.system import MonoSlam, SlamConfig
+        from synth_world import SynthWorld
+
+        world = SynthWorld(seed=3)
+        descs = []
+        for t in (0.0, 1.0, 2.0):
+            f = fast_orb.extract(jnp.asarray(world.render(t), jnp.float32),
+                                 n_features=1536)
+            descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+        voc = bow.train_vocabulary(np.concatenate(descs), k=6, depth=3)
+        cfg = SlamConfig(fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+                         width=world.w, height=world.h, n_features=1536,
+                         max_kf=64, max_lm=8192, max_obs=8, fps=10,
+                         min_init_matches=60, vocabulary=voc)
+        slam = MonoSlam(cfg)
+        for t in np.arange(0, 2.5, 0.1):
+            slam.track(world.render(t), float(t))
+        assert slam.status == base.OK
+        kf_before = slam.n_kf
+        ckpt = str(tmp_path / "atlas_ckpt")
+        slam.save_atlas_checkpoint(ckpt)
+
+        # Fresh engine resumes from the checkpoint and revisits the place:
+        # the loaded map must be merged back in (or relocalized into).
+        slam2 = MonoSlam(cfg)
+        slam2.load_atlas_checkpoint(ckpt)
+        assert len(slam2.atlas.maps) == 2   # loaded + fresh active
+        merged = False
+        for i, t in enumerate(np.arange(0.5, 2.4, 0.1)):
+            slam2.track(world.render(t), 5.0 + 0.1 * i)
+            if len(slam2.atlas.maps) == 1:
+                merged = True
+                break
+        assert merged, "loaded atlas never re-joined"
+        assert slam2.n_kf > kf_before * 0.8
