@@ -204,6 +204,8 @@ class MonoInertialSlam(MonoSlam):
     def track(self, img: np.ndarray, stamp: float, imu_data=None):
         """Process one frame + its IMU batch (samples in (t_prev, t])."""
         stamp = self._rel_stamp(stamp)
+        if self._check_timestamp_jump(stamp):
+            return None
         if imu_data is not None and len(imu_data[0]) > 0:
             self.buf.append(np.asarray(imu_data[0], np.float64) - self.t0,
                             imu_data[1], imu_data[2])
@@ -379,7 +381,19 @@ class MonoInertialSlam(MonoSlam):
             prior_g=self.imu_init_prior[0], prior_a=self.imu_init_prior[1],
             fix_scale=self.imu_fix_scale)
         scale = float(res.scale)
-        if not np.isfinite(scale) or scale < 1e-1:
+        if not np.isfinite(scale):
+            # IMU divergence (mbBadImu, LocalMapping.cc:186-193 consumed at
+            # Tracking.cc:2704-2708): repeated non-finite inits condemn the
+            # active map.
+            self._imu_init_failures = getattr(self, "_imu_init_failures",
+                                              0) + 1
+            if self._imu_init_failures >= 5:
+                from ..utils import verbose
+                verbose.print_mess("bad IMU detected: resetting active map")
+                self._imu_init_failures = 0
+                self._handle_lost(None, None)
+            return
+        if scale < 1e-1:
             return
 
         # --- ApplyScaledRotation (Map.h:118): gravity-align + rescale. ---

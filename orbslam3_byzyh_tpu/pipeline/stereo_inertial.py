@@ -39,6 +39,8 @@ class StereoInertialSlam(MonoInertialSlam, StereoSlam):
     def track(self, img_left: np.ndarray, img_right: np.ndarray,
               stamp: float, imu_data=None):
         stamp = self._rel_stamp(stamp)
+        if self._check_timestamp_jump(stamp):
+            return None
         if imu_data is not None and len(imu_data[0]) > 0:
             self.buf.append(np.asarray(imu_data[0], np.float64) - self.t0,
                             imu_data[1], imu_data[2])
@@ -53,6 +55,7 @@ class StereoInertialSlam(MonoInertialSlam, StereoSlam):
             jnp.asarray(img_right, jnp.float32),
             jnp.asarray(self.cfg.bf, jnp.float32), self.cfg.min_z)
         self._depth = jnp.where(m.valid, m.depth, -1.0)
+        self._ur = jnp.where(m.valid, m.u_right, -1.0)
 
         if self.status == base.NOT_INITIALIZED:
             pose = self._stereo_initialize(feats, stamp)
@@ -88,6 +91,8 @@ class FisheyeStereoInertialSlam(MonoInertialSlam, FisheyeStereoSlam):
     def track(self, img_left: np.ndarray, img_right: np.ndarray,
               stamp: float, imu_data=None):
         stamp = self._rel_stamp(stamp)
+        if self._check_timestamp_jump(stamp):
+            return None
         if imu_data is not None and len(imu_data[0]) > 0:
             self.buf.append(np.asarray(imu_data[0], np.float64) - self.t0,
                             imu_data[1], imu_data[2])

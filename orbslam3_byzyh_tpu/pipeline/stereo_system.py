@@ -56,6 +56,8 @@ class StereoSlam(base.MonoSlam):
     def track(self, img_left: np.ndarray, img_right: np.ndarray,
               stamp: float):
         stamp = self._rel_stamp(stamp)
+        if self._check_timestamp_jump(stamp):
+            return None
         feats = self._extract(img_left)
         feats_r = self._extract(img_right)
         m = stereo_ops.stereo_match(
@@ -65,7 +67,25 @@ class StereoSlam(base.MonoSlam):
             jnp.asarray(img_right, jnp.float32),
             jnp.asarray(self.cfg.bf, jnp.float32), self.cfg.min_z)
         self._depth = jnp.where(m.valid, m.depth, -1.0)
+        self._ur = jnp.where(m.valid, m.u_right, -1.0)
         return self._track_with_depth(feats, stamp)
+
+    # ------------------------------------------------------------------
+    def _track_local_map(self, res, feats):
+        """Mixed mono/stereo-residual pose optimization: keypoints with a
+        right-image match add the u_r = u - bf/z constraint
+        (EdgeStereoSE3ProjectXYZOnlyPose, chi2 gate 7.815)."""
+        if self._ur is None:
+            return super()._track_local_map(res, feats)
+        from . import tracking
+        lms = self.state.lms
+        return tracking.track_local_map_stereo(
+            res.R, res.t, res.bindings,
+            lms.pos, lms.desc, lms.normal, lms.min_dist, lms.max_dist,
+            lms.valid,
+            feats.xy, feats.level, feats.desc, feats.valid,
+            self._ur, jnp.asarray(self.cfg.bf, jnp.float32),
+            self.cam_params, self.cfg.width, self.cfg.height)
 
     # ------------------------------------------------------------------
     def _track_with_depth(self, feats, stamp):
@@ -196,6 +216,8 @@ class FisheyeStereoSlam(StereoSlam):
     def track(self, img_left: np.ndarray, img_right: np.ndarray,
               stamp: float):
         stamp = self._rel_stamp(stamp)
+        if self._check_timestamp_jump(stamp):
+            return None
         feats = self._extract(img_left)
         feats_r = self._extract(
             img_right, cam_params=self._cam2,
@@ -218,17 +240,23 @@ class RgbdSlam(StereoSlam):
 
     Depth comes from the depth image sampled at keypoint locations
     (ComputeStereoFromRGBD :1361 — the reference also synthesizes a virtual
-    right coordinate, which only feeds the stereo residual we don't use).
+    right coordinate u - bf/depth, which feeds the stereo residual in pose
+    optimization).
     """
 
     def track(self, img: np.ndarray, depth_img: np.ndarray, stamp: float):
         stamp = self._rel_stamp(stamp)
+        if self._check_timestamp_jump(stamp):
+            return None
         feats = self._extract(img)
         d = jnp.asarray(depth_img, jnp.float32) / self.cfg.depth_scale
         h, w = depth_img.shape
         ix = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0, w - 1)
         iy = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0, h - 1)
         depth = d.reshape(-1)[iy * w + ix]
-        self._depth = jnp.where((depth > self.cfg.min_z) & feats.valid,
-                                depth, -1.0)
+        ok = (depth > self.cfg.min_z) & feats.valid
+        self._depth = jnp.where(ok, depth, -1.0)
+        # Virtual right coordinate u_r = u - bf/depth
+        # (ComputeStereoFromRGBD :1361) feeds the stereo residual.
+        self._ur = jnp.where(ok, feats.xy[:, 0] - self.cfg.bf / depth, -1.0)
         return self._track_with_depth(feats, stamp)

@@ -93,6 +93,7 @@ class MonoSlam:
         self._init_stamp = None
         # Last-frame tracking context.
         self._last = None           # dict(feats, bindings, R, t, stamp)
+        self._ur = None             # (N,) right-u per keypoint (stereo/RGBD)
         self._vel = None            # (R_v, t_v): T_cur = vel * T_last
         self.frames_since_kf = 0
         self.last_kf_id = -1
@@ -172,6 +173,8 @@ class MonoSlam:
     def track(self, img: np.ndarray, stamp: float):
         """Process one frame; returns Tcw (R, t) or None while initializing."""
         stamp = self._rel_stamp(stamp)
+        if self._check_timestamp_jump(stamp):
+            return None
         if (self.cfg.chessboard is not None and self._chess_pose is None
                 and self.status == NOT_INITIALIZED):
             self._snoop_chessboard(img)
@@ -286,6 +289,18 @@ class MonoSlam:
     # ------------------------------------------------------------------
     # Per-frame tracking (Track :2692 OK-state path)
     # ------------------------------------------------------------------
+    def _track_local_map(self, res, feats):
+        """Local-map tracking + final pose optimization. Stereo systems
+        override this with the mixed mono/stereo-residual variant."""
+        lms = self.state.lms
+        return tracking.track_local_map(
+            res.R, res.t, res.bindings,
+            lms.pos, lms.desc, lms.normal, lms.min_dist, lms.max_dist,
+            lms.valid,
+            feats.xy, feats.level, feats.desc, feats.valid,
+            self.cam_params, self.cfg.width, self.cfg.height)
+
+    # ------------------------------------------------------------------
     def _track_frame(self, feats, stamp):
         last = self._last
         if self._vel is not None:
@@ -309,12 +324,7 @@ class MonoSlam:
                 feats.xy, feats.level, feats.desc, feats.valid,
                 self.cam_params, radius=30.0)
 
-        res = tracking.track_local_map(
-            res.R, res.t, res.bindings,
-            lms.pos, lms.desc, lms.normal, lms.min_dist, lms.max_dist,
-            lms.valid,
-            feats.xy, feats.level, feats.desc, feats.valid,
-            self.cam_params, self.cfg.width, self.cfg.height)
+        res = self._track_local_map(res, feats)
 
         n_inliers = int(res.n_inliers)
         if n_inliers < 15:
@@ -631,6 +641,24 @@ class MonoSlam:
                                   R=res.R, t=res.t, stamp=stamp)
                 return (res.R, res.t)
         return None
+
+    def _check_timestamp_jump(self, stamp: float) -> bool:
+        """Timestamp discontinuity guard (Tracking.cc:2704-2765): a gap
+        > 1 s or a backwards stamp while tracking resets the machinery —
+        small map discarded, mature map kept in the Atlas. Returns True if
+        a reset happened (the current frame is dropped, like the reference
+        which returns after CreateMapInAtlas)."""
+        if self._last is None or self.status == NOT_INITIALIZED:
+            return False
+        dt = stamp - self._last["stamp"]
+        if -1e-6 <= dt <= 1.0:
+            return False
+        from ..utils import verbose
+        verbose.print_mess(
+            f"timestamp jump of {dt:.2f}s detected: "
+            + ("starting new map" if self.n_kf >= 10 else "resetting map"))
+        self._handle_lost(None, stamp)
+        return True
 
     def _handle_lost(self, feats, stamp):
         """LOST: small map -> reset; mature map -> keep it, start a new one

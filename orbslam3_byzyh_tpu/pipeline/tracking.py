@@ -141,6 +141,58 @@ def track_local_map(R0, t0, bindings,
                        n_inliers=res.n_inliers)
 
 
+@functools.partial(jax.jit, static_argnames=("model_id", "img_w", "img_h"))
+def track_local_map_stereo(R0, t0, bindings,
+                           lm_pos, lm_desc, lm_normal, lm_min_d, lm_max_d,
+                           lm_valid,
+                           feats_xy, feats_level, feats_desc, feats_valid,
+                           feats_ur, bf,
+                           cam_params, img_w: int, img_h: int,
+                           model_id: int = cam.PINHOLE) -> TrackResult:
+    """track_local_map with the stereo residual in the final pose opt:
+    keypoints carrying a right-image match (feats_ur >= 0) contribute the
+    u_r = u - bf/z constraint (EdgeStereoSE3ProjectXYZOnlyPose), others stay
+    monocular — exactly the reference's mixed-edge PoseOptimization."""
+    n_kp = feats_xy.shape[0]
+    n_lm = lm_pos.shape[0]
+
+    visible, proj, dist, plevel = matching.frustum_cull(
+        R0, t0, lm_pos, lm_normal, lm_min_d, lm_max_d, cam_params,
+        float(img_w), float(img_h))
+    visible = visible & lm_valid
+
+    bound_lm = jnp.maximum(bindings, 0)
+    is_bound_kp = bindings >= 0
+    lm_already = jnp.zeros((n_lm,), bool).at[
+        jnp.where(is_bound_kp, bound_lm, n_lm)].set(True, mode="drop")
+
+    radius = 4.0 * SCALE ** plevel.astype(jnp.float32)
+    mj, md = matching.search_by_projection(
+        proj, plevel, lm_desc, visible & ~lm_already,
+        feats_xy, feats_level, feats_desc,
+        feats_valid & ~is_bound_kp,
+        radius=radius, max_dist=matching.TH_HIGH, ratio=0.8,
+        level_window=(-1, 1))
+
+    new_bind = jnp.full((n_kp,), -1, jnp.int32)
+    lm_ids = jnp.arange(n_lm)
+    tgt = jnp.where(mj >= 0, jnp.maximum(mj, 0), n_kp)
+    new_bind = new_bind.at[tgt].set(jnp.where(mj >= 0, lm_ids, -1),
+                                    mode="drop")
+    bindings = jnp.where(is_bound_kp, bindings, new_bind)
+
+    has = bindings >= 0
+    lm_of_kp = jnp.maximum(bindings, 0)
+    pw = lm_pos[lm_of_kp]
+    inv_s2 = INV_SIGMA2[feats_level]
+    res = pose_opt.pose_optimization_stereo(
+        R0, t0, pw, feats_xy, feats_ur, bf, inv_s2,
+        has & feats_valid, cam_params, model_id=model_id)
+    bindings = jnp.where(res.inlier | ~has, bindings, -1)
+    return TrackResult(R=res.R, t=res.t, bindings=bindings,
+                       n_inliers=res.n_inliers)
+
+
 @jax.jit
 def match_for_initialization(ref_xy, ref_desc, ref_valid, ref_level,
                              cur_xy, cur_desc, cur_valid, cur_level,

@@ -82,3 +82,87 @@ class TestPoseOptimization:
             n_rounds=4, n_iters=20)
         assert rot_err_deg(np.asarray(res.R), R) < 0.5
         assert np.linalg.norm(np.asarray(res.t) - t) < 0.05
+
+
+class TestStereoPoseOpt:
+    """Mixed mono/stereo-residual motion-only BA
+    (EdgeStereoSE3ProjectXYZOnlyPose parity, chi2 gates 5.991/7.815)."""
+
+    def _problem(self, rng, n=500, bf=40.0):
+        from orbslam3_byzyh_tpu.ops import lie
+        pts = np.stack([rng.uniform(-4, 4, n), rng.uniform(-3, 3, n),
+                        rng.uniform(4, 12, n)], -1).astype(np.float32)
+        R_gt = np.asarray(lie.so3_exp(jnp.asarray(
+            rng.normal(0, 0.05, 3).astype(np.float32))))
+        t_gt = np.array([0.2, -0.1, 0.3], np.float32)
+        cam = jnp.asarray([420.0, 420.0, 320.0, 240.0])
+        pc = pts @ R_gt.T + t_gt
+        uv = np.stack([420 * pc[:, 0] / pc[:, 2] + 320,
+                       420 * pc[:, 1] / pc[:, 2] + 240], -1)
+        uv += rng.normal(0, 0.4, uv.shape)
+        ur = uv[:, 0] - bf / pc[:, 2] + rng.normal(0, 0.4, n)
+        # Half the rows are stereo, half mono.
+        has = rng.uniform(size=n) < 0.5
+        ur = np.where(has, ur, -1.0).astype(np.float32)
+        return (jnp.asarray(R_gt), jnp.asarray(t_gt), jnp.asarray(pts),
+                jnp.asarray(uv.astype(np.float32)), jnp.asarray(ur),
+                bf, cam)
+
+    def test_recovers_pose_mixed(self, rng):
+        from orbslam3_byzyh_tpu.ops import lie
+        R_gt, t_gt, pts, uv, ur, bf, cam = self._problem(rng)
+        n = pts.shape[0]
+        R0 = lie.so3_exp(jnp.asarray([0.02, -0.015, 0.01])) @ R_gt
+        t0 = t_gt + jnp.asarray([0.05, -0.04, 0.08])
+        res = pose_opt.pose_optimization_stereo(
+            R0, t0, pts, uv, ur, bf, jnp.ones(n), jnp.ones(n, bool), cam)
+        ang = np.degrees(np.linalg.norm(np.asarray(
+            lie.so3_log(res.R @ R_gt.T))))
+        assert ang < 0.15, ang
+        assert np.linalg.norm(np.asarray(res.t) - np.asarray(t_gt)) < 0.02
+        assert int(res.n_inliers) > 0.9 * n
+
+    def test_all_mono_matches_mono_solver(self, rng):
+        from orbslam3_byzyh_tpu.ops import lie
+        R_gt, t_gt, pts, uv, _, bf, cam = self._problem(rng)
+        n = pts.shape[0]
+        ur_none = jnp.full((n,), -1.0)
+        R0 = lie.so3_exp(jnp.asarray([0.015, 0.01, -0.02])) @ R_gt
+        t0 = t_gt + jnp.asarray([-0.04, 0.05, 0.06])
+        res_s = pose_opt.pose_optimization_stereo(
+            R0, t0, pts, uv, ur_none, bf, jnp.ones(n), jnp.ones(n, bool),
+            cam)
+        res_m = pose_opt.pose_optimization(
+            R0, t0, pts, uv, jnp.ones(n), jnp.ones(n, bool), cam)
+        np.testing.assert_allclose(np.asarray(res_s.R), np.asarray(res_m.R),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(res_s.t), np.asarray(res_m.t),
+                                   atol=2e-3)
+
+    def test_stereo_tightens_depth_axis(self, rng):
+        """With few, near-collinear points, the z-translation is weakly
+        observable monocularly; the u_r residual must tighten it."""
+        from orbslam3_byzyh_tpu.ops import lie
+        n, bf = 60, 40.0
+        pts = np.stack([rng.uniform(-0.5, 0.5, n), rng.uniform(-0.4, 0.4, n),
+                        rng.uniform(6, 8, n)], -1).astype(np.float32)
+        R_gt = np.eye(3, dtype=np.float32)
+        t_gt = np.zeros(3, np.float32)
+        cam = jnp.asarray([420.0, 420.0, 320.0, 240.0])
+        uv = np.stack([420 * pts[:, 0] / pts[:, 2] + 320,
+                       420 * pts[:, 1] / pts[:, 2] + 240], -1)
+        uv += rng.normal(0, 0.5, uv.shape)
+        ur = (uv[:, 0] - bf / pts[:, 2]).astype(np.float32)
+        t0 = jnp.asarray([0.0, 0.0, 0.4])      # push along the weak axis
+        res_m = pose_opt.pose_optimization(
+            jnp.eye(3), t0, jnp.asarray(pts),
+            jnp.asarray(uv.astype(np.float32)),
+            jnp.ones(n), jnp.ones(n, bool), cam)
+        res_s = pose_opt.pose_optimization_stereo(
+            jnp.eye(3), t0, jnp.asarray(pts),
+            jnp.asarray(uv.astype(np.float32)), jnp.asarray(ur), bf,
+            jnp.ones(n), jnp.ones(n, bool), cam)
+        z_m = abs(float(res_m.t[2]))
+        z_s = abs(float(res_s.t[2]))
+        assert z_s < 0.05, z_s
+        assert z_s <= z_m + 1e-3
