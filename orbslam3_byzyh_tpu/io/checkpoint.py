@@ -22,7 +22,7 @@ import numpy as np
 from ..models import atlas as atlas_mod
 from ..models import map_state as ms
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def _flatten_state(state: ms.MapState) -> dict:

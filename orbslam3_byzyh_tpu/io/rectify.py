@@ -49,7 +49,7 @@ def build_rectification(cam1, cam2, T_c1_c2: np.ndarray) -> RectifiedRig:
     # stereoRectify wants cam1->cam2: invert.
     R12, t12 = T[:3, :3], T[:3, 3]
     R = R12.T
-    t = -R12.T @ t12
+    t = (-R12.T @ t12).reshape(3, 1)   # OpenCV 5 requires a column vector
     size = (cam1.width, cam1.height)
     R1, R2, P1, P2, _, _, _ = cv2.stereoRectify(
         K1, d1, K2, d2, size, R, t,

@@ -106,6 +106,8 @@ class Atlas:
                 oth.kfs.kp_desc[:kf_take]),
             kp_valid=cur.kfs.kp_valid.at[kf_off:kf_off + kf_take].set(
                 oth.kfs.kp_valid[:kf_take]),
+            kp_ur=cur.kfs.kp_ur.at[kf_off:kf_off + kf_take].set(
+                oth.kfs.kp_ur[:kf_take]),
             valid=cur.kfs.valid.at[kf_off:kf_off + kf_take].set(
                 oth.kfs.valid[:kf_take]),
         )

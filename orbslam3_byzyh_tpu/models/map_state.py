@@ -35,6 +35,7 @@ class KeyFrames(NamedTuple):
     kp_angle: jnp.ndarray    # (K, N)
     kp_desc: jnp.ndarray     # (K, N, 8) uint32
     kp_valid: jnp.ndarray    # (K, N) bool
+    kp_ur: jnp.ndarray       # (K, N) right-image u (stereo/RGBD), -1 = mono
     valid: jnp.ndarray       # (K,) liveness
 
 
@@ -74,6 +75,7 @@ def empty_map(max_kf: int, max_lm: int, max_obs: int, n_feat: int) -> MapState:
         kp_angle=jnp.zeros((max_kf, n_feat), f32),
         kp_desc=jnp.zeros((max_kf, n_feat, 8), jnp.uint32),
         kp_valid=jnp.zeros((max_kf, n_feat), bool),
+        kp_ur=jnp.full((max_kf, n_feat), -1.0, f32),
         valid=jnp.zeros((max_kf,), bool),
     )
     lms = Landmarks(
@@ -96,9 +98,13 @@ def empty_map(max_kf: int, max_lm: int, max_obs: int, n_feat: int) -> MapState:
     return MapState(kfs=kfs, lms=lms, obs=obs)
 
 
-def add_keyframe(state: MapState, slot: int, R, t, stamp, feats) -> MapState:
-    """Write a keyframe into `slot` (host passes the cursor)."""
+def add_keyframe(state: MapState, slot: int, R, t, stamp, feats,
+                 ur=None) -> MapState:
+    """Write a keyframe into `slot` (host passes the cursor). ur: optional
+    (N,) right-image u per keypoint (stereo/RGBD; -1 = monocular)."""
     kfs = state.kfs
+    if ur is None:
+        ur = jnp.full((kfs.kp_ur.shape[1],), -1.0, jnp.float32)
     kfs = kfs._replace(
         R=kfs.R.at[slot].set(R),
         t=kfs.t.at[slot].set(t),
@@ -108,6 +114,7 @@ def add_keyframe(state: MapState, slot: int, R, t, stamp, feats) -> MapState:
         kp_angle=kfs.kp_angle.at[slot].set(feats.angle),
         kp_desc=kfs.kp_desc.at[slot].set(feats.desc),
         kp_valid=kfs.kp_valid.at[slot].set(feats.valid),
+        kp_ur=kfs.kp_ur.at[slot].set(ur),
         valid=kfs.valid.at[slot].set(True),
     )
     return state._replace(kfs=kfs)

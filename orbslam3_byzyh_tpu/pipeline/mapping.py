@@ -124,9 +124,10 @@ def triangulate_pair(Ra, ta, xy_a, level_a, desc_a, free_a,
                                min_dist=min_dist, max_dist=max_dist, good=good)
 
 
-@functools.partial(jax.jit, static_argnames=("model_id",))
+@functools.partial(jax.jit, static_argnames=("model_id", "use_stereo"))
 def local_ba(state: ms.MapState, free_kf: jnp.ndarray, cam_params,
-             model_id: int = cam.PINHOLE):
+             model_id: int = cam.PINHOLE, use_stereo: bool = False,
+             bf: float = 0.0):
     """Bundle adjust the whole map with only ``free_kf`` poses free.
 
     The reference's covisibility-window LocalBundleAdjustment
@@ -148,7 +149,10 @@ def local_ba(state: ms.MapState, free_kf: jnp.ndarray, cam_params,
         obs_valid=obs.valid & (obs.kf >= 0),
         fixed=~(free_kf & kfs.valid),
         lm_valid=lms.valid,
-        cam_params=cam_params)
+        cam_params=cam_params,
+        # Stereo rows (EdgeStereoSE3ProjectXYZ) when the rig provides u_r.
+        obs_ur=(kfs.kp_ur[kf_safe, kp_safe] if use_stereo else None),
+        bf=(jnp.asarray(bf, jnp.float32) if use_stereo else None))
     res = ba.bundle_adjust(prob, model_id=model_id)
     kfs = kfs._replace(R=res.R, t=res.t)
     lms = lms._replace(pos=res.points)
@@ -159,8 +163,9 @@ def local_ba(state: ms.MapState, free_kf: jnp.ndarray, cam_params,
     return state._replace(kfs=kfs, lms=lms, obs=obs)
 
 
-@functools.partial(jax.jit, static_argnames=("model_id",))
-def global_ba(state: ms.MapState, cam_params, model_id: int = cam.PINHOLE):
+@functools.partial(jax.jit, static_argnames=("model_id", "use_stereo"))
+def global_ba(state: ms.MapState, cam_params, model_id: int = cam.PINHOLE,
+              use_stereo: bool = False, bf: float = 0.0):
     """Full bundle adjustment: every valid keyframe free except the gauge
     anchor KF 0 (RunGlobalBundleAdjustment,
     /root/reference/src/LoopClosing.cc:2869 → GlobalBundleAdjustemnt,
@@ -170,7 +175,8 @@ def global_ba(state: ms.MapState, cam_params, model_id: int = cam.PINHOLE):
     dispatch provides the tracking/GBA overlap)."""
     free = state.kfs.valid & (
         jnp.arange(state.kfs.valid.shape[0]) != 0)
-    return local_ba(state, free, cam_params, model_id)
+    return local_ba(state, free, cam_params, model_id,
+                    use_stereo=use_stereo, bf=bf)
 
 
 @jax.jit

@@ -71,6 +71,12 @@ class StereoSlam(base.MonoSlam):
         return self._track_with_depth(feats, stamp)
 
     # ------------------------------------------------------------------
+    def _ba_kwargs(self) -> dict:
+        if self._ur is None:
+            return {}
+        return dict(use_stereo=True, bf=float(self.cfg.bf))
+
+    # ------------------------------------------------------------------
     def _track_local_map(self, res, feats):
         """Mixed mono/stereo-residual pose optimization: keypoints with a
         right-image match add the u_r = u - bf/z constraint
@@ -108,7 +114,7 @@ class StereoSlam(base.MonoSlam):
             return None
 
         self.state = ms.add_keyframe(self.state, 0, jnp.eye(3),
-                                     jnp.zeros(3), stamp, feats)
+                                     jnp.zeros(3), stamp, feats, ur=self._ur)
         self.n_kf = 1
         n_new = self._create_depth_landmarks(0, feats, jnp.asarray(good))
         if n_new < self.cfg.min_init_landmarks:

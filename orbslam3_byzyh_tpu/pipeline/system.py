@@ -289,6 +289,11 @@ class MonoSlam:
     # ------------------------------------------------------------------
     # Per-frame tracking (Track :2692 OK-state path)
     # ------------------------------------------------------------------
+    def _ba_kwargs(self) -> dict:
+        """Extra bundle-adjustment args; stereo systems add the u_r
+        residual (use_stereo/bf)."""
+        return {}
+
     def _track_local_map(self, res, feats):
         """Local-map tracking + final pose optimization. Stereo systems
         override this with the mixed mono/stereo-residual variant."""
@@ -408,7 +413,7 @@ class MonoSlam:
         """CreateNewKeyFrame (:4589) + the LocalMapping work for this KF."""
         kf_id = self.n_kf
         self.state = ms.add_keyframe(self.state, kf_id, track_res.R,
-                                     track_res.t, stamp, feats)
+                                     track_res.t, stamp, feats, ur=self._ur)
         self.n_kf += 1
         self.frames_since_kf = 0
 
@@ -462,7 +467,8 @@ class MonoSlam:
                     self.state, kf_id, cand, corr, self.n_kf)
                 # Global BA after loop correction
                 # (RunGlobalBundleAdjustment, LoopClosing.cc:2869).
-                self.state = mapping.global_ba(self.state, self.cam_params)
+                self.state = mapping.global_ba(self.state, self.cam_params,
+                                               **self._ba_kwargs())
                 # Refresh the tracking context to the corrected pose.
                 self._last["R"] = self.state.kfs.R[kf_id]
                 self._last["t"] = self.state.kfs.t[kf_id]
@@ -539,7 +545,8 @@ class MonoSlam:
             float(self.cfg.width), float(self.cfg.height))
         # Merge BA over the welded map (merge variant of
         # LocalBundleAdjustment, src/Optimizer.cc:5195).
-        self.state = mapping.global_ba(self.state, self.cam_params)
+        self.state = mapping.global_ba(self.state, self.cam_params,
+                                       **self._ba_kwargs())
         self._last["R"] = self.state.kfs.R[kf_id]
         self._last["t"] = self.state.kfs.t[kf_id]
         self._vel = None
@@ -562,7 +569,7 @@ class MonoSlam:
                 free[int(k)] = True
         free[0] = False  # gauge anchor
         self.state = mapping.local_ba(self.state, jnp.asarray(free),
-                                      self.cam_params)
+                                      self.cam_params, **self._ba_kwargs())
 
     def _triangulate_with(self, kf_a: int, kf_b: int, feats, free_kp):
         kfs = self.state.kfs

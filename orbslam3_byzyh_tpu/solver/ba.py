@@ -52,6 +52,10 @@ class BAProblem(NamedTuple):
     fixed: jnp.ndarray      # (K,) bool — poses held constant
     lm_valid: jnp.ndarray   # (L,) bool
     cam_params: jnp.ndarray  # camera intrinsics vector
+    # Optional stereo observations (EdgeStereoSE3ProjectXYZ,
+    # OptimizableTypes.h:96): right-image u per observation, -1 = monocular.
+    obs_ur: jnp.ndarray = None   # (L, O) or None
+    bf: jnp.ndarray = None       # scalar baseline*fx (required with obs_ur)
 
 
 class BAResult(NamedTuple):
@@ -78,6 +82,25 @@ def _residuals(p: BAProblem, R, t, points, model_id):
     Jp = -jnp.einsum("loij,lojk->loik", Jproj, dpc_dpose, precision=_HI)
     Jl = -jnp.einsum("loij,lojk->loik", Jproj, Rk, precision=_HI)  # (L, O, 2, 3)
     depth_ok = pc[..., 2] > 0.05
+    if p.obs_ur is None:
+        return r, Jp, Jl, depth_ok
+    # Third residual row: u_r = u - bf/z (stereo rows only).
+    iz = 1.0 / jnp.maximum(pc[..., 2], 1e-6)
+    has_ur = p.obs_ur >= 0.0
+    ur_pred = uv[..., 0] - p.bf * iz
+    r3 = jnp.where(has_ur, p.obs_ur - ur_pred, 0.0)
+    e = p.bf * iz * iz                                    # d(-bf/z)/dz
+    # d(u_r)/d(pc) = du/dpc + (0, 0, e); chain through each Jacobian.
+    extra_pose = jnp.stack([
+        jnp.zeros_like(e), jnp.zeros_like(e), e,
+        e * pc[..., 1], -e * pc[..., 0], jnp.zeros_like(e)], -1)
+    Jp3 = Jp[..., 0, :] - extra_pose
+    Jl3 = Jl[..., 0, :] - e[..., None] * Rk[..., 2, :]
+    Jp3 = jnp.where(has_ur[..., None], Jp3, 0.0)
+    Jl3 = jnp.where(has_ur[..., None], Jl3, 0.0)
+    r = jnp.concatenate([r, r3[..., None]], -1)
+    Jp = jnp.concatenate([Jp, Jp3[..., None, :]], -2)
+    Jl = jnp.concatenate([Jl, Jl3[..., None, :]], -2)
     return r, Jp, Jl, depth_ok
 
 
@@ -209,8 +232,12 @@ def bundle_adjust(p: BAProblem, model_id: int = cam.PINHOLE,
 
     ``stages``: iteration counts; outliers (chi2 > 5.991 or negative depth)
     are re-classified between stages, mirroring Optimizer.cc:1900-2000.
+    Stereo observations (obs_ur >= 0) gate at 7.815 instead.
     """
-    delta2 = lm.CHI2_MONO
+    if p.obs_ur is None:
+        delta2 = lm.CHI2_MONO
+    else:
+        delta2 = jnp.where(p.obs_ur >= 0.0, lm.CHI2_STEREO, lm.CHI2_MONO)
     n_kf = p.R.shape[0]
 
     inlier = jnp.ones_like(p.obs_valid)

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--vocabulary", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--no-loop-closing", action="store_true")
+    ap.add_argument("--snapshot-every", type=int, default=0,
+                    help="write map_NNNN.png every N frames (offline viewer)")
+    ap.add_argument("--localization-after", type=int, default=0,
+                    help="freeze the map after N frames (localization mode)")
     ap.add_argument("--min-init-matches", type=int, default=100,
                     help="two-view init match gate (Tracking.cc:3620; lower for low-texture scenes)")
     args = ap.parse_args()
@@ -80,6 +84,7 @@ def main():
     timers = StageTimers()
 
     n_total = 0
+    fcount = 0
     t_start = time.perf_counter()
     for si, seq_dir in enumerate(args.sequence):
         if si > 0:
@@ -94,6 +99,12 @@ def main():
         for idx, img in pf:
             with timers.time("total_track"):
                 slam.track(img, float(seq.stamps[idx]))
+            fcount += 1
+            if args.localization_after and fcount == args.localization_after:
+                slam.activate_localization_mode()
+            if args.snapshot_every and fcount % args.snapshot_every == 0:
+                from orbslam3_byzyh_tpu.utils import viewer
+                viewer.snapshot(slam, f"map_{fcount:05d}.png")
         pf.close()
     wall = time.perf_counter() - t_start
 

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--no-imu", action="store_true")
     ap.add_argument("--no-loop-closing", action="store_true")
+    ap.add_argument("--snapshot-every", type=int, default=0,
+                    help="write map_NNNN.png every N frames (offline viewer)")
+    ap.add_argument("--localization-after", type=int, default=0,
+                    help="freeze the map after N frames (localization mode)")
     args = ap.parse_args()
 
     import numpy as np
@@ -81,6 +85,7 @@ def main():
 
     timers = StageTimers()
     n_total = 0
+    fcount = 0
     t_start = time.perf_counter()
     for si, seq_dir in enumerate(args.sequence):
         if si > 0:
@@ -106,6 +111,13 @@ def main():
                 else:
                     slam.track(img_l, img_r, t)
             t_prev = t
+            fcount += 1
+            if args.localization_after and fcount == args.localization_after:
+                slam.activate_localization_mode()
+            if args.snapshot_every and fcount % args.snapshot_every == 0:
+                from orbslam3_byzyh_tpu.utils import viewer
+                viewer.snapshot(slam, f"map_{fcount:05d}.png")
+
     wall = time.perf_counter() - t_start
 
     print(f"tracked {len(slam.trajectory)}/{n_total} frames in {wall:.1f}s "

@@ -130,3 +130,54 @@ class TestBundleAdjust:
         prob = make_problem(X, Rs, ts, okf, ouv, oval, fixed)
         res = ba.bundle_adjust(prob)
         np.testing.assert_allclose(np.asarray(res.points[50:]), X[50:], atol=1e-6)
+
+
+class TestStereoBA:
+    """BA with mixed mono/stereo observations (EdgeStereoSE3ProjectXYZ:
+    third residual u_r = u - bf/z per stereo row, chi2 gate 7.815)."""
+
+    def test_stereo_rows_match_and_tighten(self, rng):
+        bf = 40.0
+        X, Rs, ts, okf, ouv, oval = synth_ba(rng, n_kf=5, n_lm=240)
+        n_kf = len(Rs)
+        # Ground-truth u_r from true geometry for ~60% of observations.
+        fx, fy, cx, cy = K_PARAMS
+        our = np.full(okf.shape, -1.0, np.float32)
+        for l in range(len(X)):
+            for o in range(okf.shape[1]):
+                k = okf[l, o]
+                if k < 0 or not oval[l, o]:
+                    continue
+                if rng.uniform() > 0.6:
+                    continue
+                pc = Rs[k] @ X[l] + ts[k]
+                our[l, o] = (fx * pc[0] / pc[2] + cx - bf / pc[2]
+                             + rng.normal(0, 0.4))
+
+        # Perturb poses + points, then adjust with and without stereo rows.
+        Rp, tp = Rs.copy(), ts.copy()
+        for k in range(2, n_kf):
+            dR = np.asarray(lie.so3_exp(jnp.asarray(
+                rng.uniform(-0.02, 0.02, 3).astype(np.float32))))
+            Rp[k] = dR @ Rs[k]
+            tp[k] = ts[k] + rng.uniform(-0.05, 0.05, 3)
+        Xp = X + rng.normal(0, 0.03, X.shape).astype(np.float32)
+        fixed = np.zeros(n_kf, bool)
+        fixed[:2] = True
+
+        prob_m = make_problem(Xp, Rp, tp, okf, ouv, oval, fixed)
+        prob_s = prob_m._replace(obs_ur=jnp.asarray(our),
+                                 bf=jnp.asarray(bf, jnp.float32))
+        res_m = ba.bundle_adjust(prob_m)
+        res_s = ba.bundle_adjust(prob_s)
+
+        for res in (res_m, res_s):
+            for k in range(2, n_kf):
+                assert rot_err_deg(np.asarray(res.R[k]), Rs[k]) < 0.3
+                assert np.linalg.norm(np.asarray(res.t[k]) - ts[k]) < 0.05
+        # Stereo rows must not hurt; typically they tighten translation.
+        err_m = sum(np.linalg.norm(np.asarray(res_m.t[k]) - ts[k])
+                    for k in range(2, n_kf))
+        err_s = sum(np.linalg.norm(np.asarray(res_s.t[k]) - ts[k])
+                    for k in range(2, n_kf))
+        assert err_s < err_m * 1.5, (err_s, err_m)

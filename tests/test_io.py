@@ -149,3 +149,27 @@ ZHeight: 0.5
         s = settings.load_settings(
             "/root/reference/Examples/Monocular/EuRoC.yaml")
         assert s.chessboard is None
+
+
+class TestRectification:
+    def test_identity_rig(self):
+        """A perfectly rectified rig must map (nearly) to itself with
+        bf = baseline * fx."""
+        from orbslam3_byzyh_tpu.io import rectify
+        cam = settings.CameraSettings(
+            model="PinHole",
+            params=np.array([400.0, 400.0, 320.0, 240.0], np.float32),
+            dist=None, width=640, height=480)
+        T = np.eye(4)
+        T[0, 3] = 0.2                     # cam2 is 0.2 m to the right
+        rig = rectify.build_rectification(cam, cam, T)
+        assert abs(rig.bf - 0.2 * 400.0) < 1e-3, rig.bf
+        # Rectification maps stay close to identity for an aligned rig.
+        gx, gy = np.meshgrid(np.arange(640), np.arange(480))
+        assert np.abs(rig.map1x - gx).max() < 1.0
+        assert np.abs(rig.map1y - gy).max() < 1.0
+        # Remapping a random image is (almost) a no-op.
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, (480, 640)).astype(np.float32)
+        l, r = rig.rectify(img, img)
+        assert np.abs(l - img).mean() < 2.0
