@@ -519,6 +519,14 @@ class MonoInertialSlam(MonoSlam):
         okp_s = np.maximum(okp, 0)
         obs_uv = kp_xy[gkf, okp_s]
         obs_w = np.asarray(tracking.INV_SIGMA2)[kp_level[gkf, okp_s]]
+        # Stereo rows (EdgeStereo in LocalInertialBA) when the rig has them.
+        ba_kw = self._ba_kwargs()
+        obs_ur = None
+        bf = None
+        if ba_kw.get("use_stereo"):
+            obs_ur = jnp.asarray(
+                np.where(o_valid, np.asarray(kfs.kp_ur)[gkf, okp_s], -1.0))
+            bf = jnp.asarray(ba_kw["bf"], jnp.float32)
 
         prob = inertial_ba.VIBAProblem(
             R_wb=jnp.asarray(R_wb), p_w=jnp.asarray(p_w),
@@ -535,7 +543,8 @@ class MonoInertialSlam(MonoSlam):
             R_cb=jnp.asarray(self.R_cb), t_cb=jnp.asarray(self.t_cb),
             cam_params=self.cam_params,
             fixed=jnp.asarray(fixed),
-            prior_bias_w=jnp.asarray(prior_bias, jnp.float32))
+            prior_bias_w=jnp.asarray(prior_bias, jnp.float32),
+            obs_ur=obs_ur, bf=bf)
         return prob, loc, lsel, lm_valid, o_valid
 
     def _apply_viba(self, res, ids, free_ids, loc, lsel, lm_valid, o_valid):

@@ -64,6 +64,10 @@ class VIBAProblem(NamedTuple):
     # (EdgePriorGyro/Acc in FullInertialBA :3237). Without it the acc bias
     # absorbs scaled gravity and the scale becomes unobservable again.
     prior_bias_w: jnp.ndarray  # (2,)
+    # Optional stereo observations (EdgeStereo in LocalInertialBA): right-u
+    # per observation (-1 = mono) and baseline*fx.
+    obs_ur: jnp.ndarray = None  # (L, O) or None
+    bf: jnp.ndarray = None
 
 
 class VIBAResult(NamedTuple):
@@ -106,6 +110,23 @@ def _visual_system(p: VIBAProblem, R_wb, p_w, points, inlier, robust,
     # d x_b/d x_w = R_bw = Rk^T.
     Jl = -jnp.einsum("loij,lokj->loik", JR, Rk, precision=_HI)
     depth_ok = x_c[..., 2] > 0.05
+
+    if p.obs_ur is not None:
+        # Stereo row: u_r = u - bf/z_c (EdgeStereo with body-pose tangent).
+        iz = 1.0 / jnp.maximum(x_c[..., 2], 1e-6)
+        has_ur = p.obs_ur >= 0.0
+        r3 = jnp.where(has_ur, p.obs_ur - (uv[..., 0] - p.bf * iz), 0.0)
+        e = p.bf * iz * iz
+        row2 = p.R_cb[2]                          # d z_c / d x_b
+        M = jnp.einsum("j,lojk->lok", row2, dxb_dpose, precision=_HI)
+        N = jnp.einsum("j,lokj->lok", row2, Rk, precision=_HI)
+        Jp3 = jnp.where(has_ur[..., None],
+                        Jp[..., 0, :] - e[..., None] * M, 0.0)
+        Jl3 = jnp.where(has_ur[..., None],
+                        Jl[..., 0, :] - e[..., None] * N, 0.0)
+        r = jnp.concatenate([r, r3[..., None]], -1)
+        Jp = jnp.concatenate([Jp, Jp3[..., None, :]], -2)
+        Jl = jnp.concatenate([Jl, Jl3[..., None, :]], -2)
 
     chi2 = jnp.sum(r * r, -1) * p.obs_w
     mask = (p.obs_valid & inlier & depth_ok & (p.obs_kf >= 0)
@@ -175,7 +196,10 @@ def _inertial_blocks(p: VIBAProblem, R_wb, p_w, v_w, bg, ba):
 @functools.partial(jax.jit, static_argnames=("model_id", "stages"))
 def vi_bundle_adjust(p: VIBAProblem, model_id: int = cam.PINHOLE,
                      stages: tuple = (5, 10)) -> VIBAResult:
-    delta2 = lm.CHI2_MONO
+    if p.obs_ur is None:
+        delta2 = lm.CHI2_MONO
+    else:
+        delta2 = jnp.where(p.obs_ur >= 0.0, lm.CHI2_STEREO, lm.CHI2_MONO)
     n_kf = p.R_wb.shape[0]
 
     def build_and_step(state, inlier, robust, lam):
