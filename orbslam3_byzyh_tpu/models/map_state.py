@@ -192,3 +192,57 @@ def landmarks_seen_by(state: MapState, kf_id: int):
     slot = jnp.argmax(hit, axis=-1)
     kp = jnp.where(seen, state.obs.kp[jnp.arange(hit.shape[0]), slot], -1)
     return seen, kp
+
+
+def check_invariants(state: MapState, n_kf: int, n_lm: int) -> list:
+    """Debug-time consistency checks over the array map (the reference's
+    Map::CheckEssentialGraph / scattered asserts, Map.h:127-128). Returns a
+    list of violation strings (empty = consistent). Host-side, not jitted —
+    for tests and post-mortem debugging, like the original."""
+    import numpy as np
+    errs = []
+    kfs, lms, obs = state.kfs, state.lms, state.obs
+    kf_valid = np.asarray(kfs.valid)
+    lm_valid = np.asarray(lms.valid)
+    okf = np.asarray(obs.kf)
+    okp = np.asarray(obs.kp)
+    oval = np.asarray(obs.valid)
+
+    if kf_valid[:n_kf].sum() == 0 and n_kf > 0:
+        errs.append(f"no valid keyframes among the first {n_kf} slots")
+    if kf_valid[n_kf:].any():
+        errs.append("keyframe liveness beyond the host cursor")
+    if lm_valid[n_lm:].any():
+        errs.append("landmark liveness beyond the host cursor")
+
+    live_obs = oval & (okf >= 0)
+    # Observations must reference live keyframes and in-range keypoints.
+    bad_kf = live_obs & ~kf_valid[np.maximum(okf, 0)]
+    if bad_kf.any():
+        errs.append(f"{int(bad_kf.sum())} observations point at dead "
+                    "keyframes")
+    n_feat = kfs.kp_valid.shape[1]
+    if (live_obs & ((okp < 0) | (okp >= n_feat))).any():
+        errs.append("observation keypoint index out of range")
+    # Live landmarks need >= 1 observation; dead ones keep no live obs rows
+    # counted against them.
+    lm_n_obs = live_obs.sum(-1)
+    starved = lm_valid & (lm_n_obs == 0)
+    if starved.any():
+        errs.append(f"{int(starved.sum())} live landmarks with zero "
+                    "observations")
+    # Rotations must stay orthonormal (det +1, R R^T = I).
+    R = np.asarray(kfs.R)[kf_valid]
+    if len(R):
+        rtr = np.einsum("kij,kil->kjl", R, R)
+        eye_err = np.abs(rtr - np.eye(3)).max()
+        if eye_err > 1e-2:
+            errs.append(f"keyframe rotation drifted off SO(3): |R^TR - I| "
+                        f"max {eye_err:.2e}")
+        det = np.linalg.det(R)
+        if (det < 0.5).any():
+            errs.append("keyframe rotation with non-positive determinant")
+    # Positions finite.
+    if not np.isfinite(np.asarray(lms.pos)[lm_valid]).all():
+        errs.append("non-finite landmark positions")
+    return errs

@@ -132,3 +132,32 @@ class TestAtlasResume:
                 break
         assert merged, "loaded atlas never re-joined"
         assert slam2.n_kf > kf_before * 0.8
+
+
+def test_map_invariants_hold_after_run():
+    """check_invariants (Map::CheckEssentialGraph-style debug oracle) holds
+    on a live map and detects injected corruption."""
+    import jax.numpy as jnp
+
+    from orbslam3_byzyh_tpu.pipeline.system import MonoSlam, SlamConfig
+    from synth_world import SynthWorld
+
+    world = SynthWorld(seed=3)
+    cfg = SlamConfig(fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+                     width=world.w, height=world.h, n_features=1536,
+                     max_kf=48, max_lm=4096, max_obs=8, fps=10,
+                     min_init_matches=60, use_loop_closing=False)
+    slam = MonoSlam(cfg)
+    for t in np.arange(0, 2.0, 0.1):
+        slam.track(world.render(t), float(t))
+    errs = ms.check_invariants(slam.state, slam.n_kf, slam.n_lm)
+    assert errs == [], errs
+
+    # Inject corruption: an observation pointing at a dead keyframe.
+    bad = slam.state.obs.kf.at[0, 0].set(slam.cfg.max_kf - 1)
+    state_bad = slam.state._replace(
+        obs=slam.state.obs._replace(kf=bad,
+                                    valid=slam.state.obs.valid.at[0, 0]
+                                    .set(True)))
+    errs = ms.check_invariants(state_bad, slam.n_kf, slam.n_lm)
+    assert any("dead keyframes" in e for e in errs), errs
