@@ -163,6 +163,110 @@ def local_ba(state: ms.MapState, free_kf: jnp.ndarray, cam_params,
     return state._replace(kfs=kfs, lms=lms, obs=obs)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "model_id", "use_stereo", "n_free", "n_window", "n_lm_window"))
+def windowed_local_ba(state: ms.MapState, kf_id: jnp.ndarray, cam_params,
+                      model_id: int = cam.PINHOLE, use_stereo: bool = False,
+                      bf: float = 0.0, n_free: int = 9, n_window: int = 32,
+                      n_lm_window: int = 4096):
+    """Covisibility-windowed local bundle adjustment, O(window) per call.
+
+    Mirrors ``Optimizer::LocalBundleAdjustment``
+    (/root/reference/src/Optimizer.cc:1740-1810): free = current KF + its
+    best covisible neighbours (``n_free`` total); the window landmarks are
+    everything those free KFs observe; fixed = the other observers of those
+    landmarks (capped at ``n_window - n_free``, the reference caps its
+    inertial variant at 200 fixed, :2280). The whole problem — selection,
+    gather, Schur BA, scatter-back — is ONE jitted kernel with static
+    shapes, so per-keyframe cost stays constant as the map grows (the
+    round-1 version optimized every observation of the whole map).
+    """
+    kfs, lms, obs = state.kfs, state.lms, state.obs
+    max_kf = kfs.valid.shape[0]
+    max_lm = lms.pos.shape[0]
+    n_fixed_cap = n_window - n_free
+    kf_id = jnp.asarray(kf_id, jnp.int32)
+
+    # --- Free set: current KF + top covisible neighbours. -----------------
+    counts = ms.covisibility_counts(state, kf_id, max_kf)
+    counts = jnp.where(kfs.valid, counts, -1).at[kf_id].set(-1)
+    top_c, top_i = jax.lax.top_k(counts, n_free - 1)
+    free_ids = jnp.concatenate([kf_id[None], top_i.astype(jnp.int32)])
+    free_ok = jnp.concatenate([jnp.ones((1,), bool), top_c > 0])
+    free_mask = jnp.zeros((max_kf,), bool).at[
+        jnp.where(free_ok, free_ids, max_kf)].set(True, mode="drop")
+
+    # --- Window landmarks: observed by any free KF. -----------------------
+    obs_live = obs.valid & (obs.kf >= 0)
+    kf_safe_all = jnp.maximum(obs.kf, 0)
+    obs_in_free = obs_live & free_mask[kf_safe_all]
+    lm_in = obs_in_free.any(-1) & lms.valid                     # (L,)
+    lm_score, lm_ids = jax.lax.top_k(lm_in.astype(jnp.float32), n_lm_window)
+    lm_ok = lm_score > 0.5                                      # (Lw,)
+
+    # --- Fixed set: other observers of the window landmarks. --------------
+    contrib = lm_in[:, None] & obs_live & ~free_mask[kf_safe_all]
+    flat_kf = jnp.where(contrib, obs.kf, max_kf).reshape(-1)
+    fix_counts = jnp.zeros((max_kf + 1,), jnp.int32).at[flat_kf].add(1)
+    fix_counts = jnp.where(kfs.valid & ~free_mask, fix_counts[:max_kf], -1)
+    fc, fi = jax.lax.top_k(fix_counts, n_fixed_cap)
+    fix_ok = fc > 0
+
+    win_ids = jnp.concatenate([free_ids, fi.astype(jnp.int32)])   # (W,)
+    win_ok = jnp.concatenate([free_ok, fix_ok])
+    win_fixed = jnp.concatenate([jnp.zeros((n_free,), bool),
+                                 jnp.ones((n_fixed_cap,), bool)])
+    # Dead slots are fixed; the global gauge anchor KF0 stays fixed
+    # (the reference fixes the map-origin KF whenever it enters the window).
+    win_fixed = win_fixed | ~win_ok | (win_ids == 0)
+    # Gauge guard: with no fixed camera at all, anchor the oldest free KF
+    # (LocalBundleAdjustment falls back the same way for tiny maps).
+    no_fixed = ~(win_fixed & win_ok).any()
+    anchor = jnp.argmin(jnp.where(free_ok, free_ids, max_kf))
+    win_fixed = win_fixed.at[anchor].set(win_fixed[anchor] | no_fixed)
+
+    loc = jnp.full((max_kf + 1,), -1, jnp.int32).at[
+        jnp.where(win_ok, win_ids, max_kf)].set(
+            jnp.arange(n_window, dtype=jnp.int32), mode="drop")
+
+    # --- Gather the window problem. ----------------------------------------
+    okf_g = obs.kf[lm_ids]                                      # (Lw, O)
+    okp_g = jnp.maximum(obs.kp[lm_ids], 0)
+    oval_g = obs.valid[lm_ids] & (okf_g >= 0) & lm_ok[:, None]
+    okf_local = jnp.where(oval_g, loc[jnp.maximum(okf_g, 0)], -1)
+    in_win = okf_local >= 0
+    kf_safe = jnp.maximum(okf_g, 0)
+    obs_uv = kfs.kp_xy[kf_safe, okp_g]
+    obs_level = kfs.kp_level[kf_safe, okp_g]
+    prob = ba.BAProblem(
+        R=kfs.R[win_ids], t=kfs.t[win_ids], points=lms.pos[lm_ids],
+        obs_kf=jnp.where(in_win, okf_local, -1),
+        obs_uv=obs_uv, obs_w=INV_SIGMA2[obs_level],
+        obs_valid=oval_g & in_win,
+        fixed=win_fixed, lm_valid=lm_ok,
+        cam_params=cam_params,
+        obs_ur=(jnp.where(in_win, kfs.kp_ur[kf_safe, okp_g], -1.0)
+                if use_stereo else None),
+        bf=(jnp.asarray(bf, jnp.float32) if use_stereo else None))
+    res = ba.bundle_adjust(prob, model_id=model_id)
+
+    # --- Scatter back (free poses, window landmarks, inlier gating). ------
+    scat_kf = jnp.where(win_ok & ~win_fixed, win_ids, max_kf)
+    kfs = kfs._replace(R=kfs.R.at[scat_kf].set(res.R, mode="drop"),
+                       t=kfs.t.at[scat_kf].set(res.t, mode="drop"))
+    scat_lm = jnp.where(lm_ok, lm_ids, max_lm)
+    lms = lms._replace(pos=lms.pos.at[scat_lm].set(res.points, mode="drop"))
+    # Observations of out-of-window KFs keep their validity untouched.
+    keep = res.obs_inlier | ~in_win
+    new_valid = obs.valid.at[scat_lm].set(obs.valid[lm_ids] & keep,
+                                          mode="drop")
+    obs = obs._replace(valid=new_valid)
+    n_obs = (obs.valid & (obs.kf >= 0)).sum(-1)
+    lms = lms._replace(valid=lms.valid & (n_obs >= 2),
+                       n_obs=n_obs.astype(jnp.int32))
+    return state._replace(kfs=kfs, lms=lms, obs=obs)
+
+
 @functools.partial(jax.jit, static_argnames=("model_id", "use_stereo"))
 def global_ba(state: ms.MapState, cam_params, model_id: int = cam.PINHOLE,
               use_stereo: bool = False, bf: float = 0.0):
@@ -229,12 +333,10 @@ def fuse_duplicates(state: ms.MapState, kf_id: jnp.ndarray, cam_params,
 
 
 @jax.jit
-def cull_keyframes(state: ms.MapState, kf_id: jnp.ndarray,
-                   redundancy: float = 0.9, protect_last: int = 3):
-    """KeyFrameCulling (LocalMapping.cc:1177): cull (at most one per call,
-    like the reference's incremental sweep) a keyframe >=90% of whose
-    landmarks are seen by >=3 other keyframes. KF0 and the newest KFs are
-    protected; inertial systems skip this entirely (temporal chain)."""
+def redundancy_stats(state: ms.MapState):
+    """Per-keyframe (frac, seen_cnt): the fraction of a KF's landmarks that
+    are redundantly observed (>= 3 other KFs), and its live-observation
+    count — the KeyFrameCulling decision inputs (LocalMapping.cc:1177)."""
     kfs, lms, obs = state.kfs, state.lms, state.obs
     max_kf = kfs.valid.shape[0]
     valid_obs = obs.valid & (obs.kf >= 0) & lms.valid[:, None]
@@ -247,22 +349,44 @@ def cull_keyframes(state: ms.MapState, kf_id: jnp.ndarray,
     seen_cnt = jnp.zeros((max_kf + 1,), jnp.int32).at[flat_kf].add(ones)
     red_cnt = jnp.zeros((max_kf + 1,), jnp.int32).at[flat_kf].add(red)
     frac = red_cnt[:max_kf] / jnp.maximum(seen_cnt[:max_kf], 1)
+    return frac, seen_cnt[:max_kf]
 
-    ids = jnp.arange(max_kf)
-    protected = (ids == 0) | (ids >= kf_id - protect_last) | ~kfs.valid \
-        | (seen_cnt[:max_kf] < 30)
-    score = jnp.where(protected, -1.0, frac)
-    c = jnp.argmax(score)
-    do = score[c] >= redundancy
 
-    kf_valid = kfs.valid.at[c].set(jnp.where(do, False, kfs.valid[c]))
-    drop = valid_obs & (obs.kf == c) & do
+@jax.jit
+def drop_keyframe(state: ms.MapState, kf_id: jnp.ndarray,
+                  do: jnp.ndarray = True):
+    """Invalidate keyframe ``kf_id``: clear its liveness + observations and
+    re-count landmark support (SetBadFlag semantics, KeyFrame.cc). ``do``
+    lets callers gate the drop without retracing."""
+    kfs, lms, obs = state.kfs, state.lms, state.obs
+    do = jnp.asarray(do, bool)
+    kf_valid = kfs.valid.at[kf_id].set(jnp.where(do, False, kfs.valid[kf_id]))
+    drop = obs.valid & (obs.kf == kf_id) & do
     obs_valid = obs.valid & ~drop
     n_obs2 = (obs_valid & (obs.kf >= 0)).sum(-1)
     lms2 = lms._replace(valid=lms.valid & (n_obs2 >= 2),
                         n_obs=n_obs2.astype(jnp.int32))
     return state._replace(kfs=kfs._replace(valid=kf_valid),
                           obs=obs._replace(valid=obs_valid), lms=lms2)
+
+
+@jax.jit
+def cull_keyframes(state: ms.MapState, kf_id: jnp.ndarray,
+                   redundancy: float = 0.9, protect_last: int = 3):
+    """KeyFrameCulling (LocalMapping.cc:1177): cull (at most one per call,
+    like the reference's incremental sweep) a keyframe >=90% of whose
+    landmarks are seen by >=3 other keyframes. KF0 and the newest KFs are
+    protected; inertial systems use the chain-aware variant in
+    inertial_system._maybe_cull_keyframes (preintegration merge)."""
+    kfs = state.kfs
+    max_kf = kfs.valid.shape[0]
+    frac, seen_cnt = redundancy_stats(state)
+    ids = jnp.arange(max_kf)
+    protected = (ids == 0) | (ids >= kf_id - protect_last) | ~kfs.valid \
+        | (seen_cnt < 30)
+    score = jnp.where(protected, -1.0, frac)
+    c = jnp.argmax(score)
+    return drop_keyframe(state, c, score[c] >= redundancy)
 
 
 @jax.jit

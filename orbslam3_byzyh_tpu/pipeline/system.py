@@ -50,7 +50,9 @@ class SlamConfig:
     fps: float = 20.0
     min_frames: int = 0                    # KF policy (Tracking.cc:4388)
     max_frames: Optional[int] = None       # defaults to fps
-    local_window: int = 8                  # free KFs in local BA
+    local_window: int = 8                  # covisible neighbours free in local BA
+    ba_window: int = 32                    # total KFs (free + fixed) in local BA
+    ba_lm_window: int = 4096               # landmark rows gathered for local BA
     min_init_matches: int = 100            # two-view init gate (Tracking.cc:3620)
     triangulation_neighbors: int = 3
     vocabulary: Optional[object] = None    # ops.bow.Vocabulary for reloc/loops
@@ -559,17 +561,18 @@ class MonoSlam:
                 self.state, jnp.asarray(kf_id, jnp.int32))
 
     def _local_refine(self, kf_id: int, counts, order):
-        """Local BA after a new KF: free = this KF + best covisible
-        neighbors (LocalBundleAdjustment dispatch, LocalMapping.cc:208).
-        The inertial system overrides this with LocalInertialBA (:199)."""
-        free = np.zeros(self.cfg.max_kf, bool)
-        free[kf_id] = True
-        for k in order[: self.cfg.local_window]:
-            if counts[k] > 0:
-                free[int(k)] = True
-        free[0] = False  # gauge anchor
-        self.state = mapping.local_ba(self.state, jnp.asarray(free),
-                                      self.cam_params, **self._ba_kwargs())
+        """Local BA after a new KF: covisibility-windowed (free = this KF +
+        best covisible neighbors, fixed = other observers;
+        LocalBundleAdjustment dispatch, LocalMapping.cc:208). One jitted
+        kernel with static window shapes — per-KF cost is O(window), not
+        O(map). The inertial system overrides this with LocalInertialBA
+        (:199)."""
+        self.state = mapping.windowed_local_ba(
+            self.state, jnp.asarray(kf_id, jnp.int32), self.cam_params,
+            n_free=self.cfg.local_window + 1,
+            n_window=self.cfg.ba_window,
+            n_lm_window=self.cfg.ba_lm_window,
+            **self._ba_kwargs())
 
     def _triangulate_with(self, kf_a: int, kf_b: int, feats, free_kp):
         kfs = self.state.kfs
