@@ -194,6 +194,86 @@ def landmarks_seen_by(state: MapState, kf_id: int):
     return seen, kp
 
 
+def compact_keyframes(state: MapState, n_kf: int):
+    """Renumber the live keyframes down to slots [0, n_valid), preserving
+    temporal (id) order, and remap every keyframe reference in the state.
+
+    The reference never needs this — its KeyFrames are heap objects and
+    deletion frees them (``KeyFrame::SetBadFlag``) — but the fixed-capacity
+    array map allocates slots monotonically, so culling must eventually
+    recycle slots or long sequences exhaust ``max_kf`` and KF insertion
+    silently stops. Host-side (runs rarely, at capacity).
+
+    Returns ``(state', old2new (K,) int32 np array, n_valid)``; dead old ids
+    map to -1.
+    """
+    kf_valid = np.asarray(state.kfs.valid)
+    max_kf = kf_valid.shape[0]
+    old_ids = np.where(kf_valid)[0]            # ascending == temporal order
+    m = len(old_ids)
+    old2new = np.full(max_kf, -1, np.int32)
+    old2new[old_ids] = np.arange(m, dtype=np.int32)
+
+    gather = np.zeros(max_kf, np.int64)
+    gather[:m] = old_ids
+    g = jnp.asarray(gather)
+    kfs = state.kfs
+    live = jnp.arange(max_kf) < m
+    kfs = KeyFrames(
+        R=kfs.R[g], t=kfs.t[g], stamp=kfs.stamp[g],
+        kp_xy=kfs.kp_xy[g], kp_level=kfs.kp_level[g],
+        kp_angle=kfs.kp_angle[g], kp_desc=kfs.kp_desc[g],
+        kp_valid=kfs.kp_valid[g] & live[:, None],
+        kp_ur=kfs.kp_ur[g],
+        valid=kfs.valid[g] & live)
+
+    obs = state.obs
+    o2n = jnp.asarray(old2new)
+    okf_new = jnp.where(obs.kf >= 0, o2n[jnp.maximum(obs.kf, 0)], -1)
+    oval = obs.valid & (okf_new >= 0)
+    obs = obs._replace(kf=jnp.where(oval, okf_new, -1),
+                       kp=jnp.where(oval, obs.kp, -1), valid=oval)
+
+    # first_kf may reference a culled KF (creator died, landmark survived):
+    # remap to the nearest surviving predecessor so age logic stays sane.
+    first_old = np.asarray(state.lms.first_kf)
+    pos = np.clip(np.searchsorted(old_ids, first_old, "right") - 1, 0, None)
+    lms = state.lms._replace(
+        first_kf=jnp.asarray(pos.astype(np.int32)),
+        n_obs=(oval & (obs.kf >= 0)).sum(-1).astype(jnp.int32))
+    return state._replace(kfs=kfs, lms=lms, obs=obs), old2new, m
+
+
+def compact_landmarks(state: MapState, n_lm: int):
+    """Renumber live landmarks down to [0, n_valid) (creation-order
+    preserving) so culled landmark slots are recycled. The observation table
+    is landmark-major, so this is a row gather. Returns
+    ``(state', old2new (L,) int32 np array, n_valid)``."""
+    lm_valid = np.asarray(state.lms.valid)
+    max_lm = lm_valid.shape[0]
+    old_ids = np.where(lm_valid)[0]
+    m = len(old_ids)
+    old2new = np.full(max_lm, -1, np.int32)
+    old2new[old_ids] = np.arange(m, dtype=np.int32)
+
+    gather = np.zeros(max_lm, np.int64)
+    gather[:m] = old_ids
+    g = jnp.asarray(gather)
+    live = jnp.arange(max_lm) < m
+    lms = state.lms
+    lms = Landmarks(
+        pos=lms.pos[g], desc=lms.desc[g], normal=lms.normal[g],
+        min_dist=lms.min_dist[g], max_dist=lms.max_dist[g],
+        n_obs=lms.n_obs[g], n_found=lms.n_found[g],
+        n_visible=lms.n_visible[g], first_kf=lms.first_kf[g],
+        valid=lms.valid[g] & live)
+    obs = state.obs
+    obs = Observations(kf=jnp.where(live[:, None], obs.kf[g], -1),
+                       kp=jnp.where(live[:, None], obs.kp[g], -1),
+                       valid=obs.valid[g] & live[:, None])
+    return state._replace(lms=lms, obs=obs), old2new, m
+
+
 def check_invariants(state: MapState, n_kf: int, n_lm: int) -> list:
     """Debug-time consistency checks over the array map (the reference's
     Map::CheckEssentialGraph / scattered asserts, Map.h:127-128). Returns a

@@ -249,7 +249,7 @@ class MonoInertialSlam(MonoSlam):
             # denser keyframes would make per-edge accelerometer excitation
             # comparable to visual pose noise and scale unobservable.
             dt = self._cur_stamp - self._trajectory_kf_stamp(self.last_kf_id)
-            return dt >= 0.25 and self.n_kf < self.cfg.max_kf - 1
+            return dt >= 0.25 and self._kf_slot_available()
         return super()._need_new_keyframe(n_inliers)
 
     def _create_keyframe(self, feats, track_res, stamp):
@@ -276,9 +276,72 @@ class MonoInertialSlam(MonoSlam):
         self._local_inertial_ba(kf_id)
 
     def _maybe_cull_keyframes(self, kf_id: int):
-        # Culling a temporal-chain KF needs preintegration merging
-        # (ImuTypes.cc:330) — not implemented; keep the chain intact.
-        return
+        """Inertial KeyFrameCulling (/root/reference/src/LocalMapping.cc:1177-1240):
+        a redundant chain keyframe may die only if its removal keeps the
+        preintegration gap of its chain successor below 3 s; the successor's
+        preintegration is then MERGED across the gap (``MergePrevious``,
+        /root/reference/src/ImuTypes.cc:330). Because the ImuBuffer keeps all
+        raw samples, the merge is an exact re-integration over
+        (t_prev, t_next] at the successor's linearization bias — the
+        reference's ``Reintegrate`` semantics rather than its first-order
+        merge approximation."""
+        if self.n_kf < 8:
+            return
+        from . import mapping
+        frac, seen = mapping.redundancy_stats(self.state)
+        frac = np.asarray(frac)
+        seen = np.asarray(seen)
+        kf_valid = np.asarray(self.state.kfs.valid)
+        stamps = np.asarray(self.state.kfs.stamp)
+        n = self.n_kf
+        # Chain successor lookup.
+        nxt = np.full(self.cfg.max_kf, -1, np.int32)
+        for j in range(n):
+            p = int(self.kf_prev[j])
+            if p >= 0 and kf_valid[j]:
+                nxt[p] = j
+        # The last few chain KFs feed frame tracking + the VIBA window head.
+        recent = set(self._chain(kf_id)[-3:])
+        best, best_frac = -1, 0.9
+        for k in range(n):
+            if (not kf_valid[k] or k == self.map_first_kf or k in recent
+                    or seen[k] < 30 or frac[k] < best_frac):
+                continue
+            p, nx = int(self.kf_prev[k]), int(nxt[k])
+            if p < 0 or nx < 0:
+                continue
+            if stamps[nx] - stamps[p] >= 3.0:   # LocalMapping.cc:1228 gate
+                continue
+            best, best_frac = k, frac[k]
+        if best < 0:
+            return
+        p, nx = int(self.kf_prev[best]), int(nxt[best])
+        bias_nx = np.concatenate([self.kf_bg[nx], self.kf_ba[nx]])
+        self.kf_preint[nx] = self._preintegrate(
+            float(stamps[p]), float(stamps[nx]), bias_nx, KF_STEPS)
+        self.kf_prev[nx] = p
+        self.kf_prev[best] = -1
+        self.kf_preint[best] = None
+        self.state = mapping.drop_keyframe(
+            self.state, jnp.asarray(best, jnp.int32))
+
+    def _on_keyframes_compacted(self, old2new: np.ndarray):
+        """Remap the inertial per-KF side arrays after slot compaction."""
+        mk = self.cfg.max_kf
+        live = np.where(old2new >= 0)[0]
+        new_ids = old2new[live]
+        for arr in (self.kf_vel, self.kf_bg, self.kf_ba):
+            arr[new_ids] = arr[live]
+            arr[len(live):] = 0.0
+        prev_new = np.full(mk, -1, np.int32)
+        preint_new = [None] * mk
+        for old, new in zip(live, new_ids):
+            p = int(self.kf_prev[old])
+            prev_new[new] = old2new[p] if p >= 0 else -1
+            preint_new[new] = self.kf_preint[old]
+        self.kf_prev = prev_new
+        self.kf_preint = preint_new
+        self.map_first_kf = max(int(old2new[self.map_first_kf]), 0)
 
     # ------------------------------------------------------------------
     # IMU initialization + VIBA schedule (LocalMapping.cc:236-294)

@@ -37,6 +37,19 @@ class KeyframeDatabase:
         self.words = self.words.at[kf_id].set(words)
         self.valid = self.valid.at[kf_id].set(True)
 
+    def remap(self, old2new: np.ndarray, n_valid: int):
+        """Keyframe slots were compacted (map_state.compact_keyframes):
+        gather the BoW rows into their new slots and drop dead entries."""
+        max_kf = self.valid.shape[0]
+        old_of_new = np.zeros(max_kf, np.int64)
+        live = np.where(old2new >= 0)[0]
+        old_of_new[old2new[live]] = live
+        g = jnp.asarray(old_of_new)
+        keep = jnp.arange(max_kf) < n_valid
+        self.vecs = jnp.where(keep[:, None], self.vecs[g], 0.0)
+        self.words = jnp.where(keep[:, None], self.words[g], -1)
+        self.valid = self.valid[g] & keep
+
     def query(self, desc: jnp.ndarray, kp_valid: jnp.ndarray,
               exclude: np.ndarray | None = None, top_n: int = 3,
               min_score: float = 0.0):

@@ -24,6 +24,7 @@ from ..models import map_state as ms
 from ..ops import camera as cam
 from ..ops import fast_orb, geometry, lie
 from ..solver import pose_opt
+from ..utils import verbose
 from . import mapping, tracking
 from .loop_closing import LoopCloser
 
@@ -395,13 +396,67 @@ class MonoSlam:
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, n_inliers: int) -> bool:
         """NeedNewKeyFrame (:4388), monocular subset of the rules."""
-        if self.n_kf >= self.cfg.max_kf - 1:
+        if not self._kf_slot_available():
             return False
         ref_matches = self._ref_kf_matches()
         c1a = self.frames_since_kf >= self.max_frames
         c1b = self.frames_since_kf >= self.cfg.min_frames
         c2 = (n_inliers < ref_matches * 0.9) and n_inliers > 15
         return (c1a or (c1b and c2)) and c2
+
+    # ------------------------------------------------------------------
+    # Capacity lifecycle: culled KF/landmark slots are recycled by an
+    # order-preserving compaction when the fixed-capacity arrays fill up.
+    # (The reference's heap map frees deleted objects implicitly; here the
+    # compaction is the array-state equivalent, run rarely at capacity.)
+    # ------------------------------------------------------------------
+    def _kf_slot_available(self) -> bool:
+        if self.n_kf < self.cfg.max_kf - 1:
+            return True
+        state, old2new, n_valid = ms.compact_keyframes(self.state, self.n_kf)
+        if n_valid >= self.cfg.max_kf - 1:
+            verbose.print_mess(
+                f"map full: {n_valid} live keyframes at capacity "
+                f"max_kf={self.cfg.max_kf}; KF insertion suspended — raise "
+                "SlamConfig.max_kf or loosen culling")
+            return False
+        verbose.print_mess(
+            f"compacted keyframes: {self.n_kf} slots -> {n_valid} live",
+            verbose.VERBOSE)
+        self.state = state
+        self.n_kf = n_valid
+        self.last_kf_id = int(old2new[self.last_kf_id])
+        if self.loop_closer is not None:
+            self.loop_closer.db.remap(old2new, n_valid)
+        self._on_keyframes_compacted(old2new)
+        return True
+
+    def _on_keyframes_compacted(self, old2new: np.ndarray):
+        """Subclass hook: remap any per-KF side arrays (inertial chain)."""
+
+    def _lm_slots_available(self, n_new: int) -> int:
+        """Landmark budget for a triangulation batch, compacting culled
+        slots first when the array is full. Returns how many fit."""
+        if self.n_lm + n_new <= self.cfg.max_lm:
+            return n_new
+        state, old2new, n_valid = ms.compact_landmarks(self.state, self.n_lm)
+        if n_valid + n_new > self.cfg.max_lm:
+            verbose.print_mess(
+                f"landmark capacity: {n_valid} live of max_lm="
+                f"{self.cfg.max_lm}; dropping "
+                f"{n_new - max(self.cfg.max_lm - n_valid, 0)} new landmarks")
+            if n_valid >= self.n_lm:   # compaction freed nothing
+                return max(self.cfg.max_lm - self.n_lm, 0)
+        self.state = state
+        self.n_lm = n_valid
+        o2n = jnp.asarray(old2new)
+        b = self._last["bindings"]
+        self._last["bindings"] = jnp.where(b >= 0, o2n[jnp.maximum(b, 0)], -1)
+        self._on_landmarks_compacted(old2new)
+        return min(n_new, self.cfg.max_lm - n_valid)
+
+    def _on_landmarks_compacted(self, old2new: np.ndarray):
+        """Subclass hook: remap any per-landmark side arrays."""
 
     def _ref_kf_matches(self) -> int:
         """Observation count of the last keyframe (stand-in for the
@@ -586,10 +641,9 @@ class MonoSlam:
         n_new = int(good.sum())
         if n_new == 0:
             return
-        if self.n_lm + n_new > self.cfg.max_lm:
-            n_new = self.cfg.max_lm - self.n_lm
-            if n_new <= 0:
-                return
+        n_new = self._lm_slots_available(n_new)
+        if n_new <= 0:
+            return
         good_j = jnp.asarray(good)
         order = jnp.cumsum(good_j.astype(jnp.int32)) - 1
         slots = self.n_lm + order
