@@ -50,6 +50,142 @@ class Sim3RansacResult(NamedTuple):
     ok: jnp.ndarray
 
 
+class OptimizeSim3Result(NamedTuple):
+    R: jnp.ndarray            # refined rotation, x_q = s R x_c + t
+    t: jnp.ndarray
+    s: jnp.ndarray
+    inliers_a: jnp.ndarray    # (M,) forward-direction inlier mask
+    n_inliers: jnp.ndarray    # pairs inlying in every active direction
+
+
+def optimize_sim3(R0, t0, s0,
+                  p_c, uv_q, invs2_a, valid_a, R_qw, t_qw,
+                  p_q, uv_c, invs2_b, valid_b, R_cw, t_cw,
+                  cam_params, fix_scale: bool = False,
+                  th2: float = 10.0, n_iters: int = 10) -> OptimizeSim3Result:
+    """Nonlinear Sim3 refinement from guided-projection matches.
+
+    Replaces ``Optimizer::OptimizeSim3`` (/root/reference/src/Optimizer.cc:4195):
+    the reference builds a g2o graph with one VertexSim3Expmap and paired
+    forward/backward EdgeSim3ProjectXYZ edges, Huber delta sqrt(10), and two
+    solve rounds with outlier removal. Here both residual directions are
+    batched rows of one Gauss-Newton iteration (IRLS Huber + hard chi2 gate),
+    run under ``lax.fori_loop`` with static shapes.
+
+    Convention: the optimized transform ``U = (R, t, s)`` maps CANDIDATE-side
+    world points into the QUERY-side world, ``x_q = s R x_c + t`` (the
+    world-to-world analogue of the reference's camera-frame gScm).
+
+    Direction A (M rows): candidate landmarks ``p_c`` are moved through U and
+    projected into the query keyframe ``(R_qw, t_qw)``; residual against the
+    matched query keypoint ``uv_q``. Direction B: query landmarks ``p_q`` are
+    moved through U^{-1} and projected into the candidate keyframe; residual
+    against the candidate keypoint ``uv_c``. ``invs2_*`` are per-row
+    information weights (1/sigma^2 of the keypoint's pyramid level).
+
+    Returns the refined transform and the count of pairs that are chi2<th2
+    inliers in direction A and, where ``valid_b``, in direction B too.
+    """
+    fx, fy = cam_params[0], cam_params[1]
+
+    def proj_residual(Rcw, tcw, p_world, uv, w):
+        """Point in some world -> camera -> pixel residual + J wrt the point
+        (in that world). Returns r (M,2), Jp (M,2,3), chi2 (M,)."""
+        pc = jnp.einsum("ij,mj->mi", Rcw, p_world) + tcw
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        inv_z = 1.0 / z
+        u = fx * pc[:, 0] * inv_z + cam_params[2]
+        v = fy * pc[:, 1] * inv_z + cam_params[3]
+        r = jnp.stack([u, v], -1) - uv
+        # d(pixel)/d(cam point), (M, 2, 3).
+        zeros = jnp.zeros_like(inv_z)
+        Jpi = jnp.stack([
+            jnp.stack([fx * inv_z, zeros, -fx * pc[:, 0] * inv_z ** 2], -1),
+            jnp.stack([zeros, fy * inv_z, -fy * pc[:, 1] * inv_z ** 2], -1),
+        ], 1)
+        Jp = jnp.einsum("mab,bc->mac", Jpi, Rcw)
+        chi2 = (r * r).sum(-1) * w
+        return r, Jp, chi2
+
+    def step(_, carry):
+        R, t, s = carry
+        # ---- direction A: y = U(p_c); residual in the query camera. ----
+        y = s * jnp.einsum("ij,mj->mi", R, p_c) + t
+        rA, JpA, chi2A = proj_residual(R_qw, t_qw, y, uv_q, invs2_a)
+        # d y / d (omega, nu, lambda) = [-[y]x, I, y]  (left perturbation).
+        JyA = jnp.concatenate([
+            -_batch_skew(y), jnp.broadcast_to(jnp.eye(3), y.shape + (3,)),
+            y[:, :, None]], -1)                              # (M, 3, 7)
+        JA = jnp.einsum("mab,mbc->mac", JpA, JyA)            # (M, 2, 7)
+        wA = _huber_w(chi2A, th2) * invs2_a * valid_a
+
+        # ---- direction B: z = U^{-1}(p_q); residual in candidate camera. --
+        Rt = R.T
+        z3 = (1.0 / s) * jnp.einsum("ij,mj->mi", Rt, p_q - t)
+        rB, JpB, chi2B = proj_residual(R_cw, t_cw, z3, uv_c, invs2_b)
+        # d z / d delta = (1/s) R^T [ [p_q]x, -I, -p_q ].
+        JzB = jnp.concatenate([
+            _batch_skew(p_q), jnp.broadcast_to(-jnp.eye(3), p_q.shape + (3,)),
+            -p_q[:, :, None]], -1)
+        JzB = (1.0 / s) * jnp.einsum("ij,mjc->mic", Rt, JzB)
+        JB = jnp.einsum("mab,mbc->mac", JpB, JzB)
+        wB = _huber_w(chi2B, th2) * invs2_b * valid_b
+
+        H = (jnp.einsum("mac,m,mab->cb", JA, wA, JA, precision=_HI)
+             + jnp.einsum("mac,m,mab->cb", JB, wB, JB, precision=_HI))
+        b = (jnp.einsum("mac,m,ma->c", JA, wA, rA, precision=_HI)
+             + jnp.einsum("mac,m,ma->c", JB, wB, rB, precision=_HI))
+        if fix_scale:
+            mask = jnp.ones(7).at[6].set(0.0)
+            H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+            b = b * mask
+        H = H + 1e-6 * jnp.eye(7)
+        delta = -jnp.linalg.solve(H, b)                      # (omega, nu, lam)
+        from . import lie
+        xi = jnp.concatenate([delta[3:6], delta[:3], delta[6:7]])  # Sophus
+        Rd, td, sd = lie.sim3_exp(xi)
+        return lie.sim3_mul(Rd, td, sd, R, t, jnp.asarray(s))
+
+    R0 = jnp.asarray(R0, jnp.float32)
+    t0 = jnp.asarray(t0, jnp.float32)
+    s0 = jnp.asarray(s0, jnp.float32)
+    R, t, s = jax.lax.fori_loop(0, n_iters, step, (R0, t0, s0))
+
+    # Final inlier classification (both directions where present).
+    y = s * jnp.einsum("ij,mj->mi", R, p_c) + t
+    _, _, chi2A = _proj_chi2(R_qw, t_qw, y, uv_q, invs2_a, cam_params)
+    z3 = (1.0 / s) * jnp.einsum("ij,mj->mi", R.T, p_q - t)
+    _, _, chi2B = _proj_chi2(R_cw, t_cw, z3, uv_c, invs2_b, cam_params)
+    inl_a = valid_a & (chi2A < th2)
+    inl = inl_a & jnp.where(valid_b, chi2B < th2, True)
+    return OptimizeSim3Result(R=R, t=t, s=s, inliers_a=inl_a,
+                              n_inliers=inl.sum())
+
+
+def _batch_skew(v):
+    zeros = jnp.zeros_like(v[:, 0])
+    return jnp.stack([
+        jnp.stack([zeros, -v[:, 2], v[:, 1]], -1),
+        jnp.stack([v[:, 2], zeros, -v[:, 0]], -1),
+        jnp.stack([-v[:, 1], v[:, 0], zeros], -1)], 1)
+
+
+def _huber_w(chi2, th2):
+    """IRLS weight of the Huber loss at squared error chi2, knee th2."""
+    return jnp.where(chi2 <= th2, 1.0,
+                     jnp.sqrt(th2 / jnp.maximum(chi2, 1e-12)))
+
+
+def _proj_chi2(Rcw, tcw, p_world, uv, w, cam_params):
+    pc = jnp.einsum("ij,mj->mi", Rcw, p_world) + tcw
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    u = cam_params[0] * pc[:, 0] / z + cam_params[2]
+    v = cam_params[1] * pc[:, 1] / z + cam_params[3]
+    r = jnp.stack([u, v], -1) - uv
+    chi2 = (r * r).sum(-1) * w
+    return r, pc, chi2
+
+
 def sim3_ransac(key, pa, pb, mask, n_iters: int = 128,
                 th: float = 0.05, with_scale: bool = True,
                 min_inliers: int = 20) -> Sim3RansacResult:

@@ -473,6 +473,11 @@ class MonoInertialSlam(MonoSlam):
 
         self.imu_ready = True
         self.viba_stage = 1
+        if self.loop_closer is not None:
+            # Gravity pins roll/pitch: loop corrections drop to yaw +
+            # translation (OptimizeEssentialGraph4DoF selection,
+            # /root/reference/src/Optimizer.cc:4852).
+            self.loop_closer.inertial_4dof = True
 
         # Full inertial BA with strong bias priors (FullInertialBA :3237).
         self._full_inertial_ba(kf_id, prior_g=self.imu_init_prior[0],

@@ -29,15 +29,22 @@ from .keyframe_db import KeyframeDatabase
 
 @dataclasses.dataclass
 class LoopCloserConfig:
-    min_bow_matches: int = 20
-    min_sim3_inliers: int = 20
-    min_proj_matches: int = 50
-    consecutive_needed: int = 1   # reference: 3 temporal verifications
+    """Verification-ladder gates (DetectCommonRegionsFromBoW,
+    /root/reference/src/LoopClosing.cc:738-742 defaults)."""
+    min_bow_matches: int = 20      # nBoWMatches
+    min_ransac_inliers: int = 15   # nBoWInliers (Sim3 RANSAC gate)
+    min_sim3_inliers: int = 20     # nSim3Inliers (OptimizeSim3 inlier gate)
+    min_proj_matches: int = 50     # nProjMatches (coarse guided projection)
+    min_proj_opt_matches: int = 80  # nProjOptMatches (refined projection)
+    consecutive_needed: int = 3    # temporal verifications (LoopClosing.cc:475)
+    max_not_found: int = 2         # streak survives this many silent KFs (:497)
+    n_covisibles: int = 10         # candidate window size (nNumCovisibles)
     min_kf_gap: int = 10          # don't match recent covisible KFs
     min_map_kfs: int = 12         # guard (LoopClosing.cc:407-430)
     cov_edge_threshold: int = 30  # essential-graph covisibility weight gate
                                   # (reference: 100; smaller synthetic maps)
     fix_scale: bool = False       # SE3 pose graph for stereo/inertial
+    opt_rows: int = 512           # static row budget for OptimizeSim3
 
 
 class LoopCloser:
@@ -51,13 +58,21 @@ class LoopCloser:
     /root/reference/src/LoopClosing.cc:383 candidate-in-different-map)."""
 
     def __init__(self, voc: bow.Vocabulary, max_kf: int, n_feat: int,
-                 cfg: LoopCloserConfig | None = None):
+                 cfg: LoopCloserConfig | None = None, cam_params=None):
         self.voc = voc
         self.dbs = {0: KeyframeDatabase(voc, max_kf, n_feat)}
         self.active = 0
         self.cfg = cfg or LoopCloserConfig()
         self.max_kf = max_kf
         self.n_feat = n_feat
+        # Intrinsics for the guided-projection verification stages. Without
+        # them the ladder stops after Sim3 RANSAC (tests / headless tools).
+        self.cam_params = (jnp.asarray(cam_params, jnp.float32)
+                           if cam_params is not None else None)
+        # Temporal-consistency streaks (mnLoopNumCoincidences /
+        # mnMergeNumCoincidences, LoopClosing.cc:445-497).
+        self._streak = None        # dict(cand, count, miss, corr)
+        self._merge_streak = None  # dict(map_idx, cand, count, miss, corr)
 
     @property
     def db(self) -> KeyframeDatabase:
@@ -69,12 +84,16 @@ class LoopCloser:
     def switch_map(self, map_idx: int, fresh: bool = True):
         """Active map changed (CreateMapInAtlas / multi-session boundary)."""
         self.active = map_idx
+        self._streak = None
+        self._merge_streak = None
         if fresh or map_idx not in self.dbs:
             self.dbs[map_idx] = KeyframeDatabase(self.voc, self.max_kf,
                                                  self.n_feat)
 
     def reset_active(self):
         """Active map was reset in place (ResetActiveMap)."""
+        self._streak = None
+        self._merge_streak = None
         self.dbs[self.active] = KeyframeDatabase(self.voc, self.max_kf,
                                                  self.n_feat)
 
@@ -99,10 +118,45 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def detect(self, state: ms.MapState, kf_id: int, n_kf: int):
-        """Return (candidate_kf_id, matches) or None.
+        """Mine + geometrically verify + temporally confirm a loop.
 
-        matches: (N,) index into candidate's keypoints per query keypoint.
+        Returns (candidate_kf_id, (R, t, s, n_inliers)) once
+        ``consecutive_needed`` successive keyframes have verified the same
+        place (LoopClosing.cc:445-497); None otherwise.
         """
+        hit = self._detect_geometric(state, kf_id, n_kf)
+        if hit is None:
+            # Streak tolerance: the reference lets up to 2 keyframes fail
+            # before dropping the accumulated coincidences (:497).
+            if self._streak is not None:
+                self._streak["miss"] += 1
+                if self._streak["miss"] > self.cfg.max_not_found:
+                    self._streak = None
+            return None
+        cand, corr = hit
+        st = self._streak
+        if st is not None and self._same_place(state, st["cand"], cand):
+            count = st["count"] + 1
+        else:
+            count = 1
+        self._streak = dict(cand=cand, count=count, miss=0, corr=corr)
+        if count >= self.cfg.consecutive_needed:
+            self._streak = None
+            return cand, corr
+        return None
+
+    def _same_place(self, state: ms.MapState, prev_cand: int,
+                    cand: int) -> bool:
+        """Two candidate KFs describe the same place when covisible (the
+        reference checks window membership of the propagated candidate)."""
+        if prev_cand == cand or abs(prev_cand - cand) <= self.cfg.n_covisibles:
+            return True
+        counts = np.asarray(ms.covisibility_counts(state, prev_cand,
+                                                   self.max_kf))
+        return counts[cand] > 0
+
+    def _detect_geometric(self, state: ms.MapState, kf_id: int, n_kf: int):
+        """One keyframe's candidate mining + geometric verification ladder."""
         if n_kf < self.cfg.min_map_kfs:
             return None
         counts = np.asarray(ms.covisibility_counts(state, kf_id, self.max_kf))
@@ -125,8 +179,32 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def detect_merge(self, state: ms.MapState, kf_id: int, atlas):
         """Mine the NON-active maps for a common region (the merge branch of
-        NewDetectCommonRegions). Returns (other_map_idx, candidate_kf,
-        (R, t, s, n_inl) with x_other = s R x_active + t) or None."""
+        NewDetectCommonRegions), with the same temporal-consistency streak
+        as the loop branch (mnMergeNumCoincidences). Returns
+        (other_map_idx, candidate_kf, (R, t, s, n_inl) with
+        x_other = s R x_active + t) or None."""
+        hit = self._detect_merge_geometric(state, kf_id, atlas)
+        if hit is None:
+            if self._merge_streak is not None:
+                self._merge_streak["miss"] += 1
+                if self._merge_streak["miss"] > self.cfg.max_not_found:
+                    self._merge_streak = None
+            return None
+        idx, cand, corr = hit
+        st = self._merge_streak
+        if (st is not None and st["map_idx"] == idx
+                and self._same_place(atlas.maps[idx], st["cand"], cand)):
+            count = st["count"] + 1
+        else:
+            count = 1
+        self._merge_streak = dict(map_idx=idx, cand=cand, count=count,
+                                  miss=0, corr=corr)
+        if count >= self.cfg.consecutive_needed:
+            self._merge_streak = None
+            return idx, cand, corr
+        return None
+
+    def _detect_merge_geometric(self, state: ms.MapState, kf_id: int, atlas):
         kfs = state.kfs
         for idx, db in sorted(self.dbs.items()):
             if idx == self.active or idx >= len(atlas.maps):
@@ -150,8 +228,21 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _verify(self, state_q: ms.MapState, q: int, state_c: ms.MapState,
                 c: int, db_c: KeyframeDatabase, words_q):
-        """BoW matching + Sim3 RANSAC + projection count. Returns the Sim3
-        correction (R, t, s mapping query world -> candidate world) or None.
+        """Full geometric-verification ladder of one candidate
+        (DetectCommonRegionsFromBoW, /root/reference/src/LoopClosing.cc:733):
+
+          1. BoW matches >= min_bow_matches (20)
+          2. Sim3 RANSAC inliers >= min_ransac_inliers (15)
+          3. guided projection of the candidate window's landmarks
+             (radius 8 x scale, desc <= 1.5*TH_LOW) >= min_proj_matches (50)
+          4. OptimizeSim3 (Optimizer.cc:4195, th2=10) inliers
+             >= min_sim3_inliers (20)
+          5. tighter re-projection with the refined Sim3 (radius 5 x scale,
+             desc <= TH_LOW) >= min_proj_opt_matches (80)
+
+        Returns the Sim3 correction (R, t, s, n) mapping query world ->
+        candidate world, or None. Stages 3-5 need intrinsics; without
+        ``cam_params`` the ladder stops after stage 2 (headless tools).
         state_q/state_c may be the same map (loop) or different (merge)."""
         pm = db_c.word_pair_mask(words_q, c)
         mj, dist = matching.match(
@@ -179,7 +270,7 @@ class LoopCloser:
             lc = lm_of_kp_c[mj_np[i]]
             if lq >= 0 and lc >= 0:
                 pairs.append((lq, lc))
-        if len(pairs) < self.cfg.min_sim3_inliers:
+        if len(pairs) < self.cfg.min_ransac_inliers:
             return None
         pairs = np.asarray(pairs)
         pa = np.asarray(state_q.lms.pos)[pairs[:, 0]]   # query-side (drifted)
@@ -188,11 +279,133 @@ class LoopCloser:
             jax.random.PRNGKey(q), jnp.asarray(pa), jnp.asarray(pb),
             jnp.ones(len(pairs), bool), th=0.1,
             with_scale=not self.cfg.fix_scale,
-            min_inliers=self.cfg.min_sim3_inliers)
+            min_inliers=self.cfg.min_ransac_inliers)
         if not bool(res.ok):
             return None
-        return (np.asarray(res.R), np.asarray(res.t), float(res.s),
-                int(res.n_inliers))
+        if self.cam_params is None:
+            return (np.asarray(res.R), np.asarray(res.t), float(res.s),
+                    int(res.n_inliers))
+        return self._verify_projective(state_q, q, state_c, c,
+                                       lm_of_kp_q, res)
+
+    # ------------------------------------------------------------------
+    def _window_landmark_mask(self, state_c: ms.MapState, c: int):
+        """Landmarks observed by the candidate window = candidate + its best
+        ``n_covisibles`` covisible keyframes (GetBestCovisibilityKeyFrames,
+        LoopClosing.cc:925-947). Returns a (max_lm,) bool mask."""
+        counts = np.asarray(ms.covisibility_counts(state_c, c, self.max_kf))
+        order = np.argsort(-counts)[:self.cfg.n_covisibles]
+        in_window = np.zeros(self.max_kf + 1, bool)
+        in_window[c] = True
+        in_window[order[counts[order] > 0]] = True
+        obs_kf = np.asarray(state_c.obs.kf)
+        obs_valid = np.asarray(state_c.obs.valid)
+        hit = in_window[np.where(obs_valid, obs_kf, self.max_kf)]
+        return jnp.asarray(hit.any(-1)) & state_c.lms.valid
+
+    def _guided_projection(self, state_q, q, state_c, c, win_mask,
+                           R_u, t_u, s_u, radius_factor, max_dist):
+        """SearchByProjection with a world-to-world Sim3 (ORBmatcher.cc
+        SearchByProjection(KF, Scw, points, ...)): move the candidate
+        window's landmarks into the query world through U = (R_u, t_u, s_u)
+        (x_q = s R x_c + t) and match them against the query KF keypoints."""
+        kfs_q = state_q.kfs
+        lms_c = state_c.lms
+        pos_q = s_u * lms_c.pos @ R_u.T + t_u
+        R_qw = kfs_q.R[q]
+        t_qw = kfs_q.t[q]
+        cam_center = -R_qw.T @ t_qw
+        dist = jnp.linalg.norm(pos_q - cam_center, axis=-1)
+        pred_level = matching.predict_scale_level(dist, lms_c.max_dist * s_u)
+        pc = pos_q @ R_qw.T + t_qw
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        uv = jnp.stack([
+            self.cam_params[0] * pc[:, 0] / z + self.cam_params[2],
+            self.cam_params[1] * pc[:, 1] / z + self.cam_params[3]], -1)
+        in_front = pc[:, 2] > 0.01
+        radius = radius_factor * 1.2 ** pred_level.astype(jnp.float32)
+        mj, _ = matching.search_by_projection(
+            uv, pred_level, lms_c.desc, win_mask & in_front,
+            kfs_q.kp_xy[q], kfs_q.kp_level[q], kfs_q.kp_desc[q],
+            kfs_q.kp_valid[q], radius, max_dist=max_dist, ratio=None,
+            level_window=(-1, 1))
+        return mj
+
+    def _verify_projective(self, state_q, q, state_c, c, lm_of_kp_q, res):
+        """Ladder stages 3-5 (see _verify)."""
+        # U maps candidate world -> query world; RANSAC gave query -> cand.
+        R_v = jnp.asarray(res.R)
+        t_v = jnp.asarray(res.t)
+        s_v = jnp.asarray(res.s)
+        from ..ops import lie
+        R_u, t_u, s_u = lie.sim3_inv(R_v, t_v, s_v)
+        win_mask = self._window_landmark_mask(state_c, c)
+
+        # Stage 3: coarse guided projection (th=8, desc 1.5x).
+        mj = self._guided_projection(
+            state_q, q, state_c, c, win_mask, R_u, t_u, s_u,
+            radius_factor=8.0, max_dist=int(matching.TH_LOW * 1.5))
+        mj_np = np.asarray(mj)
+        rows = np.where(mj_np >= 0)[0]
+        if len(rows) < self.cfg.min_proj_matches:
+            return None
+
+        # Stage 4: nonlinear Sim3 refinement on the projection matches.
+        M = self.cfg.opt_rows
+        rows = rows[:M]
+        pad = M - len(rows)
+        lm_c = np.pad(rows, (0, pad))
+        kp_q = np.pad(mj_np[rows], (0, pad))
+        valid_a = np.arange(M) < len(rows)
+        kfs_q = state_q.kfs
+        from .tracking import INV_SIGMA2
+        lvl_q = np.asarray(kfs_q.kp_level[q])[kp_q]
+        # Direction B rows: matched query kp with a bound query landmark AND
+        # candidate landmark observed by the candidate KF itself.
+        lm_q = lm_of_kp_q[kp_q]
+        seen_c, kp_of_c = ms.landmarks_seen_by(state_c, c)
+        seen_c = np.asarray(seen_c)
+        kp_of_c = np.asarray(kp_of_c)
+        valid_b = valid_a & (lm_q >= 0) & seen_c[lm_c]
+        kp_c_rows = np.where(valid_b, kp_of_c[lm_c], 0)
+        lvl_c = np.asarray(state_c.kfs.kp_level[c])[kp_c_rows]
+        opt = sim3_solve.optimize_sim3(
+            R_u, t_u, s_u,
+            state_c.lms.pos[jnp.asarray(lm_c)],
+            kfs_q.kp_xy[q][jnp.asarray(kp_q)],
+            INV_SIGMA2[jnp.asarray(lvl_q)], jnp.asarray(valid_a),
+            kfs_q.R[q], kfs_q.t[q],
+            state_q.lms.pos[jnp.asarray(np.maximum(lm_q, 0))],
+            state_c.kfs.kp_xy[c][jnp.asarray(kp_c_rows)],
+            INV_SIGMA2[jnp.asarray(lvl_c)], jnp.asarray(valid_b),
+            state_c.kfs.R[c], state_c.kfs.t[c],
+            self.cam_params, fix_scale=self.cfg.fix_scale)
+        if int(opt.n_inliers) < self.cfg.min_sim3_inliers:
+            return None
+
+        # Stage 5: tighter re-projection with the refined Sim3 (th=5, 1.0x).
+        mj2 = self._guided_projection(
+            state_q, q, state_c, c, win_mask, opt.R, opt.t, opt.s,
+            radius_factor=5.0, max_dist=matching.TH_LOW)
+        n_final = int((np.asarray(mj2) >= 0).sum())
+        if n_final < self.cfg.min_proj_opt_matches:
+            return None
+
+        # Return the query -> candidate convention used by close()/merge.
+        R_f, t_f, s_f = lie.sim3_inv(opt.R, opt.t, opt.s)
+        return (np.asarray(R_f), np.asarray(t_f), float(s_f), n_final)
+
+    # ------------------------------------------------------------------
+    def _posegraph_dof(self) -> int:
+        """Pose-graph parameterization for loop correction: Sim3 for
+        monocular (drift has 7 DoF), SE3 for stereo/RGB-D, and 4DoF
+        (yaw + translation) once the IMU is initialized — gravity pins
+        roll/pitch (Optimizer::OptimizeEssentialGraph4DoF selection,
+        /root/reference/src/Optimizer.cc:4852 via LoopClosing.cc:1371)."""
+        if getattr(self, "inertial_4dof", False):
+            return pose_graph.DOF_4
+        return (pose_graph.DOF_SE3 if self.cfg.fix_scale
+                else pose_graph.DOF_SIM3)
 
     # ------------------------------------------------------------------
     def close(self, state: ms.MapState, kf_id: int, cand: int, correction,
@@ -214,48 +427,41 @@ class LoopCloser:
         Sq_corr = pose_graph.sim3_tuple_mul(Sq, M_inv)
 
         # Build edges: temporal chain + covisibility (> threshold) + loop.
-        obs_kf = np.asarray(state.obs.kf)
-        obs_valid = np.asarray(state.obs.valid)
-        ei, ej, mR, mt, ms_w, w = [], [], [], [], [], []
-        R_np = np.asarray(kfs.R)
-        t_np = np.asarray(kfs.t)
-
-        def rel(i, j):
-            return pose_graph.relative_sim3(
-                jnp.asarray(R_np[i]), jnp.asarray(t_np[i]), jnp.asarray(1.0),
-                jnp.asarray(R_np[j]), jnp.asarray(t_np[j]), jnp.asarray(1.0))
-
-        for k in range(1, n_kf):
-            Rr, tr, sr = rel(k, k - 1)
-            ei.append(k); ej.append(k - 1)
-            mR.append(np.asarray(Rr)); mt.append(np.asarray(tr))
-            ms_w.append(float(sr)); w.append(1.0)
-        # Covisibility edges for the query's neighbourhood.
+        # All relative measurements come out of ONE vmapped call (the
+        # reference builds g2o edges serially, EssentialGraph loop
+        # :1450-1560; a per-edge jit call here would cost O(n_kf) device
+        # round-trips at every closure).
         counts = np.asarray(ms.covisibility_counts(state, kf_id, self.max_kf))
-        for k in np.where(counts >= self.cfg.cov_edge_threshold)[0]:
-            if abs(int(k) - kf_id) <= 1 or k >= n_kf:
-                continue
-            Rr, tr, sr = rel(kf_id, int(k))
-            ei.append(kf_id); ej.append(int(k))
-            mR.append(np.asarray(Rr)); mt.append(np.asarray(tr))
-            ms_w.append(float(sr)); w.append(1.0)
+        cov = [int(k) for k in np.where(counts >= self.cfg.cov_edge_threshold)[0]
+               if abs(int(k) - kf_id) > 1 and k < n_kf]
+        ei = np.concatenate([np.arange(1, n_kf),
+                             np.full(len(cov), kf_id)]).astype(np.int32)
+        ej = np.concatenate([np.arange(0, n_kf - 1),
+                             np.asarray(cov, np.int64)]).astype(np.int32)
+        ei_j = jnp.asarray(ei)
+        ej_j = jnp.asarray(ej)
+        ones = jnp.ones(len(ei))
+        mR_b, mt_b, ms_b = jax.vmap(pose_graph.relative_sim3)(
+            kfs.R[ei_j], kfs.t[ei_j], ones, kfs.R[ej_j], kfs.t[ej_j], ones)
         # Loop edge: measurement = S_q_corrected * S_c^{-1}.
         Sc = (kfs.R[cand], kfs.t[cand], jnp.asarray(1.0))
         Mrel = pose_graph.sim3_tuple_mul(Sq_corr, pose_graph.sim3_tuple_inv(Sc))
-        ei.append(kf_id); ej.append(cand)
-        mR.append(np.asarray(Mrel[0])); mt.append(np.asarray(Mrel[1]))
-        ms_w.append(float(Mrel[2])); w.append(5.0)
+        ei = np.concatenate([ei, [kf_id]]).astype(np.int32)
+        ej = np.concatenate([ej, [cand]]).astype(np.int32)
+        mR = jnp.concatenate([mR_b, Mrel[0][None]])
+        mt = jnp.concatenate([mt_b, Mrel[1][None]])
+        ms_w = jnp.concatenate([ms_b, Mrel[2][None]])
+        w = jnp.concatenate([jnp.ones(len(ei) - 1), jnp.asarray([5.0])])
 
         fixed = np.zeros(self.max_kf, bool)
         fixed[cand] = True
         fixed[0] = True
 
-        dof = pose_graph.DOF_SE3 if self.cfg.fix_scale else pose_graph.DOF_SIM3
+        dof = self._posegraph_dof()
         res = pose_graph.optimize_pose_graph(
             kfs.R, kfs.t, jnp.ones(self.max_kf),
-            jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
-            jnp.asarray(np.stack(mR)), jnp.asarray(np.stack(mt)),
-            jnp.asarray(ms_w, jnp.float32), jnp.asarray(w, jnp.float32),
+            jnp.asarray(ei), jnp.asarray(ej),
+            mR, mt, ms_w.astype(jnp.float32), w.astype(jnp.float32),
             jnp.asarray(fixed), dof, n_iters=25)
 
         # Correct landmarks through their first-observer keyframe:

@@ -83,7 +83,8 @@ class MonoSlam:
         self.loop_closer = None
         if config.vocabulary is not None:
             self.loop_closer = LoopCloser(config.vocabulary, config.max_kf,
-                                          config.n_features)
+                                          config.n_features,
+                                          cam_params=config.cam_params())
         # Chessboard world-frame initialization (fork feature).
         self._chess_pose = None
         self._chess_applied = False
@@ -522,6 +523,12 @@ class MonoSlam:
                 cand, corr = det
                 self.state = self.loop_closer.close(
                     self.state, kf_id, cand, corr, self.n_kf)
+                # Fuse the drifted duplicates with their loop-side originals
+                # (SearchAndFuse, LoopClosing.cc:2689).
+                self.state = mapping.fuse_duplicates(
+                    self.state, jnp.asarray(kf_id, jnp.int32),
+                    self.cam_params, float(self.cfg.width),
+                    float(self.cfg.height))
                 # Global BA after loop correction
                 # (RunGlobalBundleAdjustment, LoopClosing.cc:2869).
                 self.state = mapping.global_ba(self.state, self.cam_params,

@@ -1,4 +1,10 @@
-"""Loop-closing tests on a hand-built drifted circular map."""
+"""Loop-closing tests on a hand-built drifted circular map.
+
+Exercises the full verification ladder (BoW -> Sim3 RANSAC -> guided
+projection -> OptimizeSim3 -> tight re-projection; DetectCommonRegionsFromBoW,
+/root/reference/src/LoopClosing.cc:733) plus the temporal-consistency streak
+(:445-497) on synthetic geometry with projectively consistent keypoints.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -13,14 +19,33 @@ N_FEAT = 128
 MAX_KF = 32
 MAX_LM = 2048
 
+FX = FY = 100.0
+CX = CY = 160.0
+CAM = np.array([FX, FY, CX, CY], np.float32)
 
-def build_circular_map(rng, n_kf=16, drift_scale=1.015):
+
+def _test_cfg(**over):
+    """Ladder gates scaled to the 60-landmark synthetic patches (the
+    reference defaults assume ~1000-feature frames)."""
+    kw = dict(min_bow_matches=20, min_ransac_inliers=15, min_sim3_inliers=15,
+              min_proj_matches=30, min_proj_opt_matches=30,
+              consecutive_needed=1)
+    kw.update(over)
+    return loop_closing.LoopCloserConfig(**kw)
+
+
+def build_circular_map(rng, n_kf=16, drift_scale=1.015, n_revisit=1,
+                       scramble_revisited=False):
     """KFs around a circle revisiting the start; landmarks on the walls.
 
-    Each KF observes its own patch of landmarks; the first and last KFs see
-    the SAME physical landmarks but the last KF's copies live at drifted
-    positions (fresh landmark entries), simulating accumulated drift with
-    scale creep.
+    Each KF observes its own patch of landmarks; the last ``n_revisit`` KFs
+    re-observe the SAME physical landmarks as KF0..n_revisit-1 but their
+    copies live at drifted positions (fresh landmark entries), simulating
+    accumulated drift with scale creep. Keypoint pixel positions are the
+    actual projections, so the guided-projection ladder stages have real
+    geometry to verify. ``scramble_revisited`` randomizes the EARLY KFs'
+    landmark positions after construction (visually identical descriptors,
+    geometrically wrong structure).
     """
     state = ms.empty_map(MAX_KF, MAX_LM, 8, N_FEAT)
 
@@ -40,35 +65,37 @@ def build_circular_map(rng, n_kf=16, drift_scale=1.015):
     # Drifted poses: scale creep applied cumulatively to centers.
     scales = drift_scale ** np.arange(n_kf)
     lm_cursor = 0
-    kf_lms = []
+    early_world_pts = {}
+    n_pts = 60
     for k in range(n_kf):
         R_cw = Rs_gt[k]
         c = cs_gt[k] * scales[k]
         t_cw = -R_cw @ c
 
-        # Landmarks in front of this camera (GT at unit scale, stored at
-        # this KF's drift scale). The LAST KF re-observes KF0's physical
-        # landmarks (same descriptors), drifted.
-        n_pts = 60
-        if k == n_kf - 1:
-            desc_rows = np.arange(0, n_pts)          # same as KF0's
+        revisit_of = k - (n_kf - n_revisit) if k >= n_kf - n_revisit else -1
+        if revisit_of >= 0:
+            desc_rows = np.arange(revisit_of * n_pts,
+                                  revisit_of * n_pts + n_pts)
+            # Re-use the early KF's physical points, expressed in the
+            # drifted world (scale creep).
+            pts_world = early_world_pts[revisit_of] * scales[k]
+            pts_cam = (R_cw @ pts_world.T + t_cw[:, None]).T
         else:
             desc_rows = np.arange(lm_cursor, lm_cursor + n_pts)
-        pts_cam = np.stack([
-            rng.uniform(-1.5, 1.5, n_pts), rng.uniform(-1, 1, n_pts),
-            rng.uniform(3, 6, n_pts)], -1).astype(np.float32)
-        if k == n_kf - 1:
-            # Re-use KF0's physical points, expressed in the drifted world.
-            pts_world_gt = kf0_world_pts
-            pts_world = pts_world_gt * scales[k]
-        else:
+            pts_cam = np.stack([
+                rng.uniform(-1.5, 1.5, n_pts), rng.uniform(-1, 1, n_pts),
+                rng.uniform(3, 6, n_pts)], -1).astype(np.float32)
             pts_world = (R_cw.T @ (pts_cam.T - t_cw[:, None])).T
-            if k == 0:
-                kf0_world_pts = pts_world.copy()
+            if k < n_revisit:
+                early_world_pts[k] = pts_world.copy()
 
-        # Fake keypoints/descriptors for the KF slab.
+        # Real projections as keypoint pixels (first n_pts slots).
+        uv = np.stack([FX * pts_cam[:, 0] / pts_cam[:, 2] + CX,
+                       FY * pts_cam[:, 1] / pts_cam[:, 2] + CY], -1)
+        xy = np.concatenate([
+            uv, rng.uniform(0, 320, (N_FEAT - n_pts, 2))]).astype(np.float32)
         feats = fast_orb.FrameFeatures(
-            xy=jnp.zeros((N_FEAT, 2)),
+            xy=jnp.asarray(xy),
             level=jnp.zeros((N_FEAT,), jnp.int32),
             angle=jnp.zeros((N_FEAT,)),
             response=jnp.zeros((N_FEAT,)),
@@ -79,32 +106,25 @@ def build_circular_map(rng, n_kf=16, drift_scale=1.015):
         state = ms.add_keyframe(state, k, jnp.asarray(R_cw),
                                 jnp.asarray(t_cw), float(k), feats)
 
+        da = np.linalg.norm(pts_cam, axis=-1).astype(np.float32)
         slots = jnp.asarray(lm_cursor + np.arange(n_pts))
-        if k < n_kf - 1:
-            state = ms.add_landmarks(
-                state, slots, jnp.asarray(pts_world),
-                jnp.asarray(descs[desc_rows]),
-                k, jnp.arange(n_pts, dtype=jnp.int32),
-                # second obs slot: same KF (a kp binds ONE landmark; using
-                # another KF's kp indices would corrupt the kp->lm maps)
-                k, jnp.arange(n_pts, dtype=jnp.int32),
-                jnp.ones(n_pts, bool),
-                jnp.zeros((n_pts, 3)), jnp.zeros(n_pts),
-                jnp.full((n_pts,), 100.0))
-            kf_lms.append(np.arange(lm_cursor, lm_cursor + n_pts))
-            lm_cursor += n_pts
-        else:
-            # Last KF: create NEW landmark entries for the same physical
-            # points (drifted duplicates, like real pre-loop maps).
-            state = ms.add_landmarks(
-                state, slots, jnp.asarray(pts_world),
-                jnp.asarray(descs[desc_rows]),
-                k, jnp.arange(n_pts, dtype=jnp.int32),
-                k, jnp.arange(n_pts, dtype=jnp.int32),
-                jnp.ones(n_pts, bool),
-                jnp.zeros((n_pts, 3)), jnp.zeros(n_pts),
-                jnp.full((n_pts,), 100.0))
-            lm_cursor += n_pts
+        state = ms.add_landmarks(
+            state, slots, jnp.asarray(pts_world),
+            jnp.asarray(descs[desc_rows]),
+            k, jnp.arange(n_pts, dtype=jnp.int32),
+            # second obs slot: same KF (a kp binds ONE landmark; using
+            # another KF's kp indices would corrupt the kp->lm maps)
+            k, jnp.arange(n_pts, dtype=jnp.int32),
+            jnp.ones(n_pts, bool),
+            jnp.zeros((n_pts, 3)), jnp.asarray(da / 1.2 ** 7),
+            jnp.asarray(da))
+        lm_cursor += n_pts
+
+    if scramble_revisited:
+        pos = np.asarray(state.lms.pos).copy()
+        n_early = n_revisit * n_pts
+        pos[:n_early] = rng.uniform(-8, 8, (n_early, 3))
+        state = state._replace(lms=state.lms._replace(pos=jnp.asarray(pos)))
     return state, n_kf, np.stack(Rs_gt), np.stack(cs_gt)
 
 
@@ -118,7 +138,8 @@ def voc():
 class TestLoopCloser:
     def test_detects_revisit(self, voc, rng):
         state, n_kf, Rs_gt, cs_gt = build_circular_map(rng)
-        lc = loop_closing.LoopCloser(voc, MAX_KF, N_FEAT)
+        lc = loop_closing.LoopCloser(voc, MAX_KF, N_FEAT, cfg=_test_cfg(),
+                                     cam_params=CAM)
         for k in range(n_kf):
             lc.add_keyframe(state, k)
         det = lc.detect(state, n_kf - 1, n_kf)
@@ -126,22 +147,67 @@ class TestLoopCloser:
         cand, corr = det
         assert cand == 0, cand
         R_m, t_m, s_m, n_inl = corr
-        assert n_inl >= 20
+        assert n_inl >= 30
         # Correction scale should undo the accumulated drift (~1/1.015^15).
         expected = 1.0 / (1.015 ** 15)
         assert abs(s_m - expected) / expected < 0.05, (s_m, expected)
 
     def test_no_detection_without_revisit(self, voc, rng):
         state, n_kf, _, _ = build_circular_map(rng)
-        lc = loop_closing.LoopCloser(voc, MAX_KF, N_FEAT)
+        lc = loop_closing.LoopCloser(voc, MAX_KF, N_FEAT, cfg=_test_cfg(),
+                                     cam_params=CAM)
         for k in range(n_kf - 1):   # exclude the revisit KF
             lc.add_keyframe(state, k)
         det = lc.detect(state, n_kf - 2, n_kf - 1)
         assert det is None
 
+    def test_rejects_geometrically_wrong_candidate(self, voc, rng):
+        """A visually identical but geometrically scrambled candidate must
+        fail the ladder (the pre-ladder repo accepted any BoW+RANSAC hit)."""
+        state, n_kf, _, _ = build_circular_map(rng, scramble_revisited=True)
+        lc = loop_closing.LoopCloser(voc, MAX_KF, N_FEAT, cfg=_test_cfg(),
+                                     cam_params=CAM)
+        for k in range(n_kf):
+            lc.add_keyframe(state, k)
+        det = lc.detect(state, n_kf - 1, n_kf)
+        assert det is None
+
+    def test_temporal_consistency(self, voc, rng):
+        """consecutive_needed=3: the loop only fires on the third successive
+        keyframe that verifies the same place (LoopClosing.cc:475)."""
+        state, n_kf, _, _ = build_circular_map(rng, n_revisit=3)
+        lc = loop_closing.LoopCloser(
+            voc, MAX_KF, N_FEAT, cfg=_test_cfg(consecutive_needed=3),
+            cam_params=CAM)
+        for k in range(n_kf):
+            lc.add_keyframe(state, k)
+        assert lc.detect(state, n_kf - 3, n_kf) is None
+        assert lc._streak is not None and lc._streak["count"] == 1
+        assert lc.detect(state, n_kf - 2, n_kf) is None
+        assert lc._streak["count"] == 2
+        det = lc.detect(state, n_kf - 1, n_kf)
+        assert det is not None
+        cand, _ = det
+        assert cand == 2, cand
+
+    def test_streak_resets_after_misses(self, voc, rng):
+        state, n_kf, _, _ = build_circular_map(rng, n_revisit=1)
+        lc = loop_closing.LoopCloser(
+            voc, MAX_KF, N_FEAT, cfg=_test_cfg(consecutive_needed=3),
+            cam_params=CAM)
+        for k in range(n_kf):
+            lc.add_keyframe(state, k)
+        assert lc.detect(state, n_kf - 1, n_kf) is None
+        assert lc._streak is not None
+        # Three keyframes with no verification drop the streak (> max 2).
+        for q in (3, 4, 5):
+            lc.detect(state, q, n_kf)
+        assert lc._streak is None
+
     def test_close_corrects_drift(self, voc, rng):
         state, n_kf, Rs_gt, cs_gt = build_circular_map(rng)
-        lc = loop_closing.LoopCloser(voc, MAX_KF, N_FEAT)
+        lc = loop_closing.LoopCloser(voc, MAX_KF, N_FEAT, cfg=_test_cfg(),
+                                     cam_params=CAM)
         for k in range(n_kf):
             lc.add_keyframe(state, k)
         det = lc.detect(state, n_kf - 1, n_kf)
