@@ -45,6 +45,55 @@ def example_tracking_args(h: int = 480, w: int = 640, n_lm: int = 4096):
             jnp.ones((n_lm,), bool), cam_params)
 
 
+def make_tiny_map_state(n_kf: int = 6, n_lm: int = 64, max_obs: int = 4,
+                        stereo_bf: float = 80.0):
+    """Tiny consistent MapState (poses + projected keypoints + stereo rows)
+    for driving the PRODUCTION full-map BA entry point
+    (pipeline.mapping.global_ba) in the multi-chip dry-run."""
+    from .models import map_state as ms
+
+    rng = np.random.default_rng(0)
+    fx = fy = 400.0
+    cx, cy = 320.0, 240.0
+    cam_params = np.array([fx, fy, cx, cy], np.float32)
+    X = np.stack([rng.uniform(-2, 2, n_lm), rng.uniform(-2, 2, n_lm),
+                  rng.uniform(4, 8, n_lm)], -1).astype(np.float32)
+    state = ms.empty_map(n_kf, n_lm, max_obs, n_lm)
+    kfs, lms, obs = state.kfs, state.lms, state.obs
+    obs_kf = np.full((n_lm, max_obs), -1, np.int32)
+    obs_kp = np.full((n_lm, max_obs), -1, np.int32)
+    obs_valid = np.zeros((n_lm, max_obs), bool)
+    kp_xy = np.zeros((n_kf, n_lm, 2), np.float32)
+    kp_ur = np.full((n_kf, n_lm), -1.0, np.float32)
+    Rs = np.tile(np.eye(3, dtype=np.float32), (n_kf, 1, 1))
+    ts = np.stack([np.array([-0.3 * k, 0.02 * k, 0], np.float32)
+                   for k in range(n_kf)])
+    for k in range(n_kf):
+        pc = X @ Rs[k].T + ts[k]
+        u = fx * pc[:, 0] / pc[:, 2] + cx + rng.normal(0, 0.5, n_lm)
+        v = fy * pc[:, 1] / pc[:, 2] + cy + rng.normal(0, 0.5, n_lm)
+        kp_xy[k] = np.stack([u, v], -1)
+        kp_ur[k] = u - stereo_bf / pc[:, 2]
+    for l in range(n_lm):
+        for o in range(min(n_kf, max_obs)):
+            obs_kf[l, o] = o
+            obs_kp[l, o] = l
+            obs_valid[l, o] = True
+    kfs = kfs._replace(
+        R=jnp.asarray(Rs), t=jnp.asarray(ts),
+        kp_xy=jnp.asarray(kp_xy), kp_ur=jnp.asarray(kp_ur),
+        kp_valid=jnp.ones((n_kf, n_lm), bool),
+        valid=jnp.ones((n_kf,), bool))
+    lms = lms._replace(
+        pos=jnp.asarray(X + rng.normal(0, 0.01, X.shape).astype(np.float32)),
+        n_obs=jnp.full((n_lm,), min(n_kf, max_obs), jnp.int32),
+        valid=jnp.ones((n_lm,), bool))
+    obs = obs._replace(kf=jnp.asarray(obs_kf), kp=jnp.asarray(obs_kp),
+                       valid=jnp.asarray(obs_valid))
+    return ms.MapState(kfs=kfs, lms=lms, obs=obs), jnp.asarray(cam_params), \
+        stereo_bf
+
+
 def make_tiny_ba_problem(n_kf: int = 4, n_lm: int = 64, n_obs: int = 4):
     """Tiny synthetic BA problem for the multi-chip dry-run."""
     rng = np.random.default_rng(0)

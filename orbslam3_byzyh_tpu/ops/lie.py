@@ -160,10 +160,20 @@ def so3_right_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     return eye + 0.5 * W + c[..., None, None] * W2
 
 
+@jax.custom_jvp
 def normalize_rotation(R: jnp.ndarray) -> jnp.ndarray:
     """Project a near-rotation matrix back onto SO(3) via SVD.
 
     Parity target: ``IMU::NormalizeRotation`` (/root/reference/src/ImuTypes.cc:517-522).
+
+    Differentiation: the SVD's jvp is singular when singular values coincide
+    — which for a rotation matrix is ALWAYS (all three equal 1), so jacfwd
+    through the raw SVD yields NaN exactly when the input is numerically
+    clean (bit-exact on CPU/HIGHEST-precision matmuls; float32 rounding used
+    to mask this). The custom JVP below treats the projection as identity:
+    on SO(3) the orthogonal-projection derivative restricted to the tangent
+    space IS the identity, and inputs here are always within float eps of a
+    rotation.
     """
     U, _, Vt = jnp.linalg.svd(R)
     Rn = _mm(U, Vt)
@@ -171,6 +181,12 @@ def normalize_rotation(R: jnp.ndarray) -> jnp.ndarray:
     det = jnp.linalg.det(Rn)
     U = U.at[..., :, 2].multiply(jnp.where(det < 0, -1.0, 1.0)[..., None])
     return _mm(U, Vt)
+
+
+@normalize_rotation.defjvp
+def _normalize_rotation_jvp(primals, tangents):
+    (R,), (dR,) = primals, tangents
+    return normalize_rotation(R), dR
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,16 @@ def rotation_consistency(angle_a, angle_b, best_j, accept,
     return accept & in_top
 
 
+def apply_rotation_filter(mj, angle_a, angle_b):
+    """Post-filter a finished match vector by the rotation histogram: keep
+    only rows whose angle difference lands in the top-3 bins (the
+    reference's end-of-search ComputeThreeMaxima erase pass, e.g.
+    ORBmatcher.cc:1951 SearchByProjection frame-vs-frame tail)."""
+    accept = mj >= 0
+    keep = rotation_consistency(angle_a, angle_b, jnp.maximum(mj, 0), accept)
+    return jnp.where(keep, mj, -1)
+
+
 def match(da, db, valid_a, valid_b, pair_mask=None, max_dist: int = TH_LOW,
           ratio: float = 0.9, angles=None, mutual: bool = True):
     """Generic one-shot matcher.

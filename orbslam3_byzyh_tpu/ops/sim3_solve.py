@@ -69,8 +69,12 @@ def optimize_sim3(R0, t0, s0,
     the reference builds a g2o graph with one VertexSim3Expmap and paired
     forward/backward EdgeSim3ProjectXYZ edges, Huber delta sqrt(10), and two
     solve rounds with outlier removal. Here both residual directions are
-    batched rows of one Gauss-Newton iteration (IRLS Huber + hard chi2 gate),
-    run under ``lax.fori_loop`` with static shapes.
+    batched rows of one Gauss-Newton iteration (soft IRLS Huber weights), run
+    under ``lax.fori_loop`` with static shapes; at the midpoint iteration any
+    PAIR with chi2 above ``th2`` in an active direction is hard-dropped for
+    the remaining iterations — the static-shape equivalent of the reference's
+    second round after ``removeEdge`` (gross outliers keep zero influence,
+    not the sqrt(th2/chi2) Huber floor).
 
     Convention: the optimized transform ``U = (R, t, s)`` maps CANDIDATE-side
     world points into the QUERY-side world, ``x_q = s R x_c + t`` (the
@@ -107,8 +111,8 @@ def optimize_sim3(R0, t0, s0,
         chi2 = (r * r).sum(-1) * w
         return r, Jp, chi2
 
-    def step(_, carry):
-        R, t, s = carry
+    def step(i, carry):
+        R, t, s, act = carry
         # ---- direction A: y = U(p_c); residual in the query camera. ----
         y = s * jnp.einsum("ij,mj->mi", R, p_c) + t
         rA, JpA, chi2A = proj_residual(R_qw, t_qw, y, uv_q, invs2_a)
@@ -117,7 +121,7 @@ def optimize_sim3(R0, t0, s0,
             -_batch_skew(y), jnp.broadcast_to(jnp.eye(3), y.shape + (3,)),
             y[:, :, None]], -1)                              # (M, 3, 7)
         JA = jnp.einsum("mab,mbc->mac", JpA, JyA)            # (M, 2, 7)
-        wA = _huber_w(chi2A, th2) * invs2_a * valid_a
+        wA = _huber_w(chi2A, th2) * invs2_a * valid_a * act
 
         # ---- direction B: z = U^{-1}(p_q); residual in candidate camera. --
         Rt = R.T
@@ -129,7 +133,7 @@ def optimize_sim3(R0, t0, s0,
             -p_q[:, :, None]], -1)
         JzB = (1.0 / s) * jnp.einsum("ij,mjc->mic", Rt, JzB)
         JB = jnp.einsum("mab,mbc->mac", JpB, JzB)
-        wB = _huber_w(chi2B, th2) * invs2_b * valid_b
+        wB = _huber_w(chi2B, th2) * invs2_b * valid_b * act
 
         H = (jnp.einsum("mac,m,mab->cb", JA, wA, JA, precision=_HI)
              + jnp.einsum("mac,m,mab->cb", JB, wB, JB, precision=_HI))
@@ -144,12 +148,20 @@ def optimize_sim3(R0, t0, s0,
         from . import lie
         xi = jnp.concatenate([delta[3:6], delta[:3], delta[6:7]])  # Sophus
         Rd, td, sd = lie.sim3_exp(xi)
-        return lie.sim3_mul(Rd, td, sd, R, t, jnp.asarray(s))
+        Rn, tn, sn = lie.sim3_mul(Rd, td, sd, R, t, jnp.asarray(s))
+        # Midpoint outlier-removal round (reference's removeEdge pass): a
+        # pair whose chi2 exceeds th2 in any active direction is frozen out
+        # of the remaining iterations.
+        good = ((chi2A < th2) | ~valid_a.astype(bool)) & \
+            ((chi2B < th2) | ~valid_b.astype(bool))
+        act = jnp.where(i == n_iters // 2 - 1, act & good, act)
+        return Rn, tn, sn, act
 
     R0 = jnp.asarray(R0, jnp.float32)
     t0 = jnp.asarray(t0, jnp.float32)
     s0 = jnp.asarray(s0, jnp.float32)
-    R, t, s = jax.lax.fori_loop(0, n_iters, step, (R0, t0, s0))
+    act0 = jnp.ones(p_c.shape[0], bool)
+    R, t, s, _ = jax.lax.fori_loop(0, n_iters, step, (R0, t0, s0, act0))
 
     # Final inlier classification (both directions where present).
     y = s * jnp.einsum("ij,mj->mi", R, p_c) + t

@@ -44,7 +44,9 @@ def shard_problem(p: ba.BAProblem, mesh: Mesh, axis: str = "lm") -> ba.BAProblem
         obs_kf=put(p.obs_kf, True), obs_uv=put(p.obs_uv, True),
         obs_w=put(p.obs_w, True), obs_valid=put(p.obs_valid, True),
         fixed=put(p.fixed, False), lm_valid=put(p.lm_valid, True),
-        cam_params=put(p.cam_params, False))
+        cam_params=put(p.cam_params, False),
+        obs_ur=(put(p.obs_ur, True) if p.obs_ur is not None else None),
+        bf=(put(p.bf, False) if p.bf is not None else None))
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "model_id",
@@ -52,20 +54,29 @@ def shard_problem(p: ba.BAProblem, mesh: Mesh, axis: str = "lm") -> ba.BAProblem
 def dist_bundle_adjust(p: ba.BAProblem, mesh: Mesh, axis: str = "lm",
                        model_id: int = cam.PINHOLE,
                        stages: tuple = (5, 10)) -> ba.BAResult:
-    """Same semantics as solver.ba.bundle_adjust, landmark-sharded."""
-    delta2 = lm.CHI2_MONO
+    """Same semantics as solver.ba.bundle_adjust, landmark-sharded.
+
+    Stereo rows (obs_ur/bf) shard along the landmark axis like every other
+    observation array, so the stereo/inertial flagship's full-map BA runs
+    through the same psum-reduced Schur path."""
     n_kf = p.R.shape[0]
 
     lm_spec = ba.BAProblem(
         R=P(), t=P(), points=P(axis),
         obs_kf=P(axis), obs_uv=P(axis), obs_w=P(axis), obs_valid=P(axis),
-        fixed=P(), lm_valid=P(axis), cam_params=P())
+        fixed=P(), lm_valid=P(axis), cam_params=P(),
+        obs_ur=(P(axis) if p.obs_ur is not None else None),
+        bf=(P() if p.bf is not None else None))
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(lm_spec,),
         out_specs=(P(), P(), P(axis), ba.BAResult(
             R=P(), t=P(), points=P(axis), obs_inlier=P(axis), cost=P())))
     def run(ps: ba.BAProblem):
+        if ps.obs_ur is None:
+            delta2 = lm.CHI2_MONO
+        else:
+            delta2 = jnp.where(ps.obs_ur >= 0.0, lm.CHI2_STEREO, lm.CHI2_MONO)
         R, t, points = ps.R, ps.t, ps.points
         inlier = jnp.ones_like(ps.obs_valid)
 

@@ -45,14 +45,18 @@ def pad_edges(edges_i, edges_j, meas_R, meas_t, meas_s, edge_w,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "axis", "n_iters"))
+                   static_argnames=("mesh", "axis", "n_iters",
+                                    "right_perturb"))
 def dist_optimize_pose_graph(R, t, s, edges_i, edges_j, meas_R, meas_t,
                              meas_s, edge_w, fixed, dof_mask, mesh: Mesh,
-                             axis: str = "lm", n_iters: int = 20
+                             axis: str = "lm", n_iters: int = 20,
+                             right_perturb: bool = False
                              ) -> pg.PoseGraphResult:
     """Same semantics as pose_graph.optimize_pose_graph, edge-sharded.
 
     Edge arrays must be length-divisible by the mesh size (use pad_edges).
+    ``right_perturb`` selects the world-frame tangent convention (4-DoF
+    inertial graphs; see solver/pose_graph.py module docstring).
     """
     n_kf = R.shape[0]
     dof = jnp.asarray(dof_mask, jnp.float32)
@@ -65,7 +69,8 @@ def dist_optimize_pose_graph(R, t, s, edges_i, edges_j, meas_R, meas_t,
 
         def one(di, dj, SiR, Sit, Sis, SjR, Sjt, Sjs, MiR, Mit, Mis):
             return pg._edge_residual(di, dj, (SiR, Sit, Sis),
-                                     (SjR, Sjt, Sjs), (MiR, Mit, Mis))
+                                     (SjR, Sjt, Sjs), (MiR, Mit, Mis),
+                                     right_perturb)
 
         zeros = jnp.zeros((ei.shape[0], 7))
         r = jax.vmap(one)(zeros, zeros, *Si, *Sj, Minv[0], Minv[1], Minv[2])
@@ -118,7 +123,10 @@ def dist_optimize_pose_graph(R, t, s, edges_i, edges_j, meas_R, meas_t,
 
     def retract(Rv, tv, sv, dx):
         E = lie.sim3_exp(dx)
-        Rn, tn, sn = lie.sim3_mul(E[0], E[1], E[2], Rv, tv, sv)
+        if right_perturb:
+            Rn, tn, sn = lie.sim3_mul(Rv, tv, sv, E[0], E[1], E[2])
+        else:
+            Rn, tn, sn = lie.sim3_mul(E[0], E[1], E[2], Rv, tv, sv)
         Rn = jnp.where(fixed[:, None, None], Rv, Rn)
         tn = jnp.where(fixed[:, None], tv, tn)
         sn = jnp.where(fixed, sv, sn)

@@ -188,6 +188,10 @@ class MonoInertialSlam(MonoSlam):
         self._body = None           # (R_wb, p_w, v_w)
         self._bias = np.zeros(6, np.float32)
         self._last_stamp = None
+        # ConstraintPoseImu marginalization prior on the last frame's
+        # [pose, v, bg, ba] tangent (Optimizer.cc:1644); None = no prior
+        # (first frame after a KF / reloc / rebase).
+        self._pose_prior_H = None
 
     # ------------------------------------------------------------------
     def _preintegrate(self, t0: float, t1: float, bias, n_pad: int):
@@ -211,7 +215,8 @@ class MonoInertialSlam(MonoSlam):
                             imu_data[1], imu_data[2])
         self._cur_stamp = stamp
 
-        feats = self._extract(img)
+        with self._stage("orb_extract"):
+            feats = self._extract(img)
         if self.status == NOT_INITIALIZED:
             pose = self._try_initialize(feats, stamp)
             if pose is not None:
@@ -351,6 +356,26 @@ class MonoInertialSlam(MonoSlam):
         IMU-initialized AND past BA2 before attempting corrections
         (LoopClosing.cc:407-430)."""
         return self.imu_ready and self.viba_stage >= 2
+
+    def _merge_maps(self, kf_id: int, other_idx: int, cand: int, corr):
+        """Inertial map merge: the visual weld + merge BA of the base class
+        (MergeLocal2 semantics — the active map keeps its gravity-aligned
+        metric frame, the OTHER map is rebased into it,
+        /root/reference/src/LoopClosing.cc:2310), followed by
+        ``MergeInertialBA`` (/root/reference/src/Optimizer.cc:6017): a
+        temporal-window visual-inertial BA around the current keyframe so
+        velocities/biases re-converge against the welded structure."""
+        super()._merge_maps(kf_id, other_idx, cand, corr)
+        if self.imu_ready:
+            self._local_inertial_ba(kf_id)
+            # The VI window BA may move the newest KF; refresh the body.
+            Rb, pb = body_from_cam(
+                np.asarray(self.state.kfs.R[kf_id]),
+                np.asarray(self.state.kfs.t[kf_id]), self.R_bc, self.t_bc)
+            self._body = (jnp.asarray(Rb), jnp.asarray(pb),
+                          jnp.asarray(self.kf_vel[kf_id]))
+            self._last["R"] = self.state.kfs.R[kf_id]
+            self._last["t"] = self.state.kfs.t[kf_id]
 
     def _imu_schedule(self, kf_id: int, stamp: float):
         t0 = self._trajectory_kf_stamp(self.map_first_kf)
@@ -515,6 +540,8 @@ class MonoInertialSlam(MonoSlam):
         R_wg_np = R_gw.T.astype(np.float32)
         self.trajectory = [(st, R @ R_wg_np, s * t)
                            for st, R, t in self.trajectory]
+        # The rebase moves every linearization point; drop the frame prior.
+        self._pose_prior_H = None
 
     # ------------------------------------------------------------------
     # Visual-inertial bundle adjustment drivers
@@ -672,12 +699,13 @@ class MonoInertialSlam(MonoSlam):
     # ------------------------------------------------------------------
     def _track_inertial(self, feats, stamp):
         last = self._last
-        pre_f = self._preintegrate(self._last_stamp, stamp, self._bias,
-                                   FRAME_STEPS)
-        R_wb, p_w, v_w = self._body
-        bias_j = jnp.asarray(self._bias)
-        R_pred, v_pred, p_pred = imu.predict_state(R_wb, v_w, p_w, pre_f,
-                                                   bias_j)
+        with self._stage("imu_preint"):
+            pre_f = self._preintegrate(self._last_stamp, stamp, self._bias,
+                                       FRAME_STEPS)
+            R_wb, p_w, v_w = self._body
+            bias_j = jnp.asarray(self._bias)
+            R_pred, v_pred, p_pred = imu.predict_state(R_wb, v_w, p_w, pre_f,
+                                                       bias_j)
         Rc_pred, tc_pred = cam_from_body(np.asarray(R_pred),
                                          np.asarray(p_pred),
                                          self.R_cb, self.t_cb)
@@ -685,19 +713,22 @@ class MonoInertialSlam(MonoSlam):
         tc_pred = jnp.asarray(tc_pred)
 
         lms = self.state.lms
-        res = tracking.track_motion_model(
-            Rc_pred, tc_pred, lms.pos, lms.valid,
-            last["bindings"], last["feats"].desc,
-            feats.xy, feats.level, feats.desc, feats.valid,
-            self.cam_params)
-        res = tracking.track_local_map(
-            res.R if int(res.n_inliers) >= 10 else Rc_pred,
-            res.t if int(res.n_inliers) >= 10 else tc_pred,
-            res.bindings,
-            lms.pos, lms.desc, lms.normal, lms.min_dist, lms.max_dist,
-            lms.valid,
-            feats.xy, feats.level, feats.desc, feats.valid,
-            self.cam_params, self.cfg.width, self.cfg.height)
+        with self._stage("pose_pred"):
+            res = tracking.track_motion_model(
+                Rc_pred, tc_pred, lms.pos, lms.valid,
+                last["bindings"], last["feats"].desc,
+                feats.xy, feats.level, feats.desc, feats.valid,
+                self.cam_params,
+                last_angle=last["feats"].angle, feats_angle=feats.angle)
+        with self._stage("lm_track"):
+            res = tracking.track_local_map(
+                res.R if int(res.n_inliers) >= 10 else Rc_pred,
+                res.t if int(res.n_inliers) >= 10 else tc_pred,
+                res.bindings,
+                lms.pos, lms.desc, lms.normal, lms.min_dist, lms.max_dist,
+                lms.valid,
+                feats.xy, feats.level, feats.desc, feats.valid,
+                self.cam_params, self.cfg.width, self.cfg.height)
 
         # Joint visual-inertial pose refinement
         # (PoseInertialOptimizationLastFrame, Optimizer.cc:983).
@@ -707,17 +738,24 @@ class MonoInertialSlam(MonoSlam):
         inv_s2 = tracking.INV_SIGMA2[feats.level]
         Rb0, pb0 = body_from_cam(np.asarray(res.R), np.asarray(res.t),
                                  self.R_bc, self.t_bc)
+        # ConstraintPoseImu: when the previous frame carries a marginalization
+        # prior, solve the LastFrame variant (previous frame free under the
+        # prior, then marginalized out); right after a keyframe the prior is
+        # reset and the LastKeyFrame variant runs (Optimizer.cc:416 vs :983).
+        prior_H = self._pose_prior_H
         pr = inertial.pose_inertial_optimization(
             jnp.asarray(Rb0), jnp.asarray(pb0), v_pred,
             bias_j[:3], bias_j[3:],
             R_wb, p_w, v_w, bias_j[:3], bias_j[3:],
             pre_f, pts_w, feats.xy, inv_s2, has,
             self.cam_params, jnp.asarray(self.R_cb), jnp.asarray(self.t_cb),
-            self._walk_info(float(pre_f.dT)))
+            self._walk_info(float(pre_f.dT)),
+            prior_H=prior_H, with_prior=prior_H is not None)
 
         n_inliers = int(pr.n_inliers)
         if n_inliers < 15:
             # RECENTLY_LOST: IMU dead-reckoning grace (Tracking.cc:2925).
+            self._pose_prior_H = None
             self.status = RECENTLY_LOST
             self.lost_frames += 1
             self._body = (R_pred, p_pred, v_pred)
@@ -735,6 +773,8 @@ class MonoInertialSlam(MonoSlam):
         self.lost_frames = 0
         self._body = (pr.R, pr.p, pr.v)
         self._bias = np.concatenate([np.asarray(pr.bg), np.asarray(pr.ba)])
+        # Carry the marginal of this solve as the next frame's prior.
+        self._pose_prior_H = pr.H_marg
         bindings = jnp.where(pr.inlier, bind, -1)
 
         Rc, tc = cam_from_body(np.asarray(pr.R), np.asarray(pr.p),
@@ -757,7 +797,9 @@ class MonoInertialSlam(MonoSlam):
             tr = tracking.TrackResult(R=Rc, t=tc, bindings=bindings,
                                       n_inliers=pr.n_inliers)
             self._create_keyframe(feats, tr, stamp)
-            # KF BA may have moved the newest pose; refresh the body state.
+            # KF BA may have moved the newest pose; refresh the body state
+            # and drop the frame prior (its linearization point moved).
+            self._pose_prior_H = None
             Rb, pb = body_from_cam(np.asarray(self.state.kfs.R[self.last_kf_id]),
                                    np.asarray(self.state.kfs.t[self.last_kf_id]),
                                    self.R_bc, self.t_bc)
@@ -773,5 +815,6 @@ class MonoInertialSlam(MonoSlam):
         self._next_scale_refine = 25.0
         self._body = None
         self._bias = np.zeros(6, np.float32)
+        self._pose_prior_H = None
         self.kf_prev[:] = -1
         self.kf_preint = [None] * self.cfg.max_kf

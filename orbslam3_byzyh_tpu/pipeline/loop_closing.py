@@ -147,9 +147,12 @@ class LoopCloser:
 
     def _same_place(self, state: ms.MapState, prev_cand: int,
                     cand: int) -> bool:
-        """Two candidate KFs describe the same place when covisible (the
-        reference checks window membership of the propagated candidate)."""
-        if prev_cand == cand or abs(prev_cand - cand) <= self.cfg.n_covisibles:
+        """Two candidate KFs describe the same place iff the new candidate
+        lies in the previous candidate's covisible window (the reference's
+        spKFsCurrentCovisibles membership check, LoopClosing.cc:463-472).
+        Slot-id proximity is deliberately NOT used: ids are temporal, not
+        spatial, and after merges adjacent slots may span sessions."""
+        if prev_cand == cand:
             return True
         counts = np.asarray(ms.covisibility_counts(state, prev_cand,
                                                    self.max_kf))
@@ -462,7 +465,10 @@ class LoopCloser:
             kfs.R, kfs.t, jnp.ones(self.max_kf),
             jnp.asarray(ei), jnp.asarray(ej),
             mR, mt, ms_w.astype(jnp.float32), w.astype(jnp.float32),
-            jnp.asarray(fixed), dof, n_iters=25)
+            jnp.asarray(fixed), dof, n_iters=25,
+            # 4-DoF frees yaw about WORLD z (gravity), which needs the
+            # world-frame (right) perturbation convention.
+            right_perturb=(dof == pose_graph.DOF_4))
 
         # Correct landmarks through their first-observer keyframe:
         # p' = S_k'^{-1} (S_k_old (p)) (CorrectLoop :1350-1420 semantics).

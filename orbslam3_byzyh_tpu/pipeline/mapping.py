@@ -124,6 +124,42 @@ def triangulate_pair(Ra, ta, xy_a, level_a, desc_a, free_a,
                                min_dist=min_dist, max_dist=max_dist, good=good)
 
 
+@functools.partial(jax.jit, static_argnames=("use_stereo",))
+def _full_ba_problem(state: ms.MapState, free_kf: jnp.ndarray, cam_params,
+                     use_stereo: bool = False, bf: float = 0.0
+                     ) -> ba.BAProblem:
+    """Assemble the whole-map BAProblem with only ``free_kf`` poses free."""
+    kfs, lms, obs = state.kfs, state.lms, state.obs
+    kf_safe = jnp.maximum(obs.kf, 0)
+    kp_safe = jnp.maximum(obs.kp, 0)
+    obs_uv = kfs.kp_xy[kf_safe, kp_safe]
+    obs_level = kfs.kp_level[kf_safe, kp_safe]
+    obs_w = INV_SIGMA2[obs_level]
+    return ba.BAProblem(
+        R=kfs.R, t=kfs.t, points=lms.pos,
+        obs_kf=obs.kf, obs_uv=obs_uv, obs_w=obs_w,
+        obs_valid=obs.valid & (obs.kf >= 0),
+        fixed=~(free_kf & kfs.valid),
+        lm_valid=lms.valid,
+        cam_params=cam_params,
+        # Stereo rows (EdgeStereoSE3ProjectXYZ) when the rig provides u_r.
+        obs_ur=(kfs.kp_ur[kf_safe, kp_safe] if use_stereo else None),
+        bf=(jnp.asarray(bf, jnp.float32) if use_stereo else None))
+
+
+@jax.jit
+def _apply_ba_result(state: ms.MapState, res: ba.BAResult) -> ms.MapState:
+    """Write a full-map BAResult back into the state (+ inlier gating)."""
+    kfs = state.kfs._replace(R=res.R, t=res.t)
+    lms = state.lms._replace(pos=res.points)
+    obs = state.obs._replace(valid=state.obs.valid & res.obs_inlier)
+    # Landmarks losing all observations die.
+    n_obs = (obs.valid & (obs.kf >= 0)).sum(-1)
+    lms = lms._replace(valid=lms.valid & (n_obs >= 2),
+                       n_obs=n_obs.astype(jnp.int32))
+    return state._replace(kfs=kfs, lms=lms, obs=obs)
+
+
 @functools.partial(jax.jit, static_argnames=("model_id", "use_stereo"))
 def local_ba(state: ms.MapState, free_kf: jnp.ndarray, cam_params,
              model_id: int = cam.PINHOLE, use_stereo: bool = False,
@@ -137,30 +173,9 @@ def local_ba(state: ms.MapState, free_kf: jnp.ndarray, cam_params,
     "other observers".
     Returns the updated state (+ observation inlier gating applied).
     """
-    kfs, lms, obs = state.kfs, state.lms, state.obs
-    kf_safe = jnp.maximum(obs.kf, 0)
-    kp_safe = jnp.maximum(obs.kp, 0)
-    obs_uv = kfs.kp_xy[kf_safe, kp_safe]
-    obs_level = kfs.kp_level[kf_safe, kp_safe]
-    obs_w = INV_SIGMA2[obs_level]
-    prob = ba.BAProblem(
-        R=kfs.R, t=kfs.t, points=lms.pos,
-        obs_kf=obs.kf, obs_uv=obs_uv, obs_w=obs_w,
-        obs_valid=obs.valid & (obs.kf >= 0),
-        fixed=~(free_kf & kfs.valid),
-        lm_valid=lms.valid,
-        cam_params=cam_params,
-        # Stereo rows (EdgeStereoSE3ProjectXYZ) when the rig provides u_r.
-        obs_ur=(kfs.kp_ur[kf_safe, kp_safe] if use_stereo else None),
-        bf=(jnp.asarray(bf, jnp.float32) if use_stereo else None))
+    prob = _full_ba_problem(state, free_kf, cam_params, use_stereo, bf)
     res = ba.bundle_adjust(prob, model_id=model_id)
-    kfs = kfs._replace(R=res.R, t=res.t)
-    lms = lms._replace(pos=res.points)
-    obs = obs._replace(valid=obs.valid & res.obs_inlier)
-    # Landmarks losing all observations die.
-    n_obs = (obs.valid & (obs.kf >= 0)).sum(-1)
-    lms = lms._replace(valid=lms.valid & (n_obs >= 2), n_obs=n_obs.astype(jnp.int32))
-    return state._replace(kfs=kfs, lms=lms, obs=obs)
+    return _apply_ba_result(state, res)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -267,20 +282,36 @@ def windowed_local_ba(state: ms.MapState, kf_id: jnp.ndarray, cam_params,
     return state._replace(kfs=kfs, lms=lms, obs=obs)
 
 
-@functools.partial(jax.jit, static_argnames=("model_id", "use_stereo"))
 def global_ba(state: ms.MapState, cam_params, model_id: int = cam.PINHOLE,
-              use_stereo: bool = False, bf: float = 0.0):
+              use_stereo: bool = False, bf: float = 0.0, mesh=None):
     """Full bundle adjustment: every valid keyframe free except the gauge
     anchor KF 0 (RunGlobalBundleAdjustment,
     /root/reference/src/LoopClosing.cc:2869 → GlobalBundleAdjustemnt,
     src/Optimizer.cc:2813). The reference runs this in a detached thread and
     merges corrections back via spanning-tree propagation; here the map is a
     value, so the refined state simply replaces the old one (XLA's async
-    dispatch provides the tracking/GBA overlap)."""
+    dispatch provides the tracking/GBA overlap).
+
+    ``mesh``: an optional jax.sharding.Mesh — when given, the landmark axis
+    is sharded across its devices and the Schur reduction runs through
+    ``parallel.dist_ba`` (psum over ICI); semantics identical to the
+    single-device path. This is the production entry point of the
+    distributed BA (new capability vs the reference, SURVEY §2.3)."""
     free = state.kfs.valid & (
         jnp.arange(state.kfs.valid.shape[0]) != 0)
-    return local_ba(state, free, cam_params, model_id,
-                    use_stereo=use_stereo, bf=bf)
+    if mesh is None:
+        return local_ba(state, free, cam_params, model_id,
+                        use_stereo=use_stereo, bf=bf)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import dist_ba
+    prob = _full_ba_problem(state, free, cam_params, use_stereo, bf)
+    prob = dist_ba.shard_problem(prob, mesh)
+    res = dist_ba.dist_bundle_adjust(prob, mesh, model_id=model_id)
+    # Re-replicate (one all-gather) so the host pipeline's state keeps its
+    # single-device layout between keyframes.
+    res = jax.device_put(res, NamedSharding(mesh, P()))
+    return _apply_ba_result(state, res)
 
 
 @jax.jit

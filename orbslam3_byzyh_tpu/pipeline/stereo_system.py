@@ -58,16 +58,18 @@ class StereoSlam(base.MonoSlam):
         stamp = self._rel_stamp(stamp)
         if self._check_timestamp_jump(stamp):
             return None
-        feats = self._extract(img_left)
-        feats_r = self._extract(img_right)
-        m = stereo_ops.stereo_match(
-            feats.xy, feats.level, feats.desc, feats.valid,
-            feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
-            jnp.asarray(img_left, jnp.float32),
-            jnp.asarray(img_right, jnp.float32),
-            jnp.asarray(self.cfg.bf, jnp.float32), self.cfg.min_z)
-        self._depth = jnp.where(m.valid, m.depth, -1.0)
-        self._ur = jnp.where(m.valid, m.u_right, -1.0)
+        with self._stage("orb_extract"):
+            feats = self._extract(img_left)
+            feats_r = self._extract(img_right)
+        with self._stage("stereo_match"):
+            m = stereo_ops.stereo_match(
+                feats.xy, feats.level, feats.desc, feats.valid,
+                feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
+                jnp.asarray(img_left, jnp.float32),
+                jnp.asarray(img_right, jnp.float32),
+                jnp.asarray(self.cfg.bf, jnp.float32), self.cfg.min_z)
+            self._depth = jnp.where(m.valid, m.depth, -1.0)
+            self._ur = jnp.where(m.valid, m.u_right, -1.0)
         return self._track_with_depth(feats, stamp)
 
     # ------------------------------------------------------------------
@@ -224,15 +226,17 @@ class FisheyeStereoSlam(StereoSlam):
         stamp = self._rel_stamp(stamp)
         if self._check_timestamp_jump(stamp):
             return None
-        feats = self._extract(img_left)
-        feats_r = self._extract(
-            img_right, cam_params=self._cam2,
-            kb8=self.cfg.kb8_2, dist=self.cfg.dist2)
-        m = stereo_ops.fisheye_stereo_match(
-            feats.xy, feats.level, feats.desc, feats.valid,
-            feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
-            self.cam_params, self._cam2, self._R_rl, self._t_rl)
-        self._depth = jnp.where(m.valid, m.depth, -1.0)
+        with self._stage("orb_extract"):
+            feats = self._extract(img_left)
+            feats_r = self._extract(
+                img_right, cam_params=self._cam2,
+                kb8=self.cfg.kb8_2, dist=self.cfg.dist2)
+        with self._stage("stereo_match"):
+            m = stereo_ops.fisheye_stereo_match(
+                feats.xy, feats.level, feats.desc, feats.valid,
+                feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
+                self.cam_params, self._cam2, self._R_rl, self._t_rl)
+            self._depth = jnp.where(m.valid, m.depth, -1.0)
         return self._track_with_depth(feats, stamp)
 
 

@@ -58,6 +58,9 @@ class SlamConfig:
     triangulation_neighbors: int = 3
     vocabulary: Optional[object] = None    # ops.bow.Vocabulary for reloc/loops
     use_loop_closing: bool = True
+    # Device mesh for the distributed solvers (parallel/dist_ba): None =
+    # auto (use all local devices when >1); False = force single-device.
+    device_mesh: Optional[object] = None
     min_reloc_inliers: int = 30            # Relocalization gate (~:5230)
     lost_grace_frames: Optional[int] = None  # RECENTLY_LOST budget (~fps)
     chessboard: Optional[object] = None    # utils.chessboard.ChessboardConfig
@@ -91,6 +94,14 @@ class MonoSlam:
         # Localization-only mode (System::ActivateLocalizationMode,
         # System.h:125-129): track against the frozen map, no KF insertion.
         self.localization_only = False
+        # Distributed-BA mesh: global/merge BA shards its landmark axis over
+        # all local devices (parallel/dist_ba; no-op on a single chip).
+        self.mesh = config.device_mesh
+        if self.mesh is None and jax.device_count() > 1:
+            from ..parallel import dist_ba
+            self.mesh = dist_ba.make_mesh()
+        elif self.mesh is False:
+            self.mesh = None
 
         # Reference frame for initialization.
         self._init_feats = None
@@ -108,6 +119,23 @@ class MonoSlam:
         self.trajectory = []
         self._t0 = None
         self.rng_key = jax.random.PRNGKey(0)
+        # Per-stage timers (REGISTER_TIMES parity, SURVEY §5): None = off.
+        # Enable with enable_stage_timers(); runners save ExecTimeMean.txt.
+        self.timers = None
+
+    # ------------------------------------------------------------------
+    def enable_stage_timers(self):
+        """Turn on the reference's REGISTER_TIMES stage taxonomy
+        (/root/reference/include/Settings.h:23-24; vectors Tracking.h:182-196)."""
+        from ..utils.timers import StageTimers
+        self.timers = StageTimers()
+        return self.timers
+
+    def _stage(self, name: str):
+        import contextlib
+        if self.timers is None:
+            return contextlib.nullcontext()
+        return self.timers.time(name)
 
     @property
     def t0(self) -> float:
@@ -182,7 +210,10 @@ class MonoSlam:
         if (self.cfg.chessboard is not None and self._chess_pose is None
                 and self.status == NOT_INITIALIZED):
             self._snoop_chessboard(img)
-        feats = self._extract(img)
+        with self._stage("orb_extract"):
+            feats = self._extract(img)
+            if self.timers is not None:
+                jax.block_until_ready(feats.desc)
 
         if self.status == NOT_INITIALIZED:
             pose = self._try_initialize(feats, stamp)
@@ -207,7 +238,8 @@ class MonoSlam:
         ref = self._init_feats
         mj = tracking.match_for_initialization(
             ref.xy, ref.desc, ref.valid, ref.level,
-            feats.xy, feats.desc, feats.valid, feats.level)
+            feats.xy, feats.desc, feats.valid, feats.level,
+            ref_angle=ref.angle, cur_angle=feats.angle)
         mj_np = np.asarray(mj)
         n_matches = int((mj_np >= 0).sum())
         if n_matches < self.cfg.min_init_matches:
@@ -320,22 +352,30 @@ class MonoSlam:
             R_pred, t_pred = last["R"], last["t"]
 
         lms = self.state.lms
-        res = tracking.track_motion_model(
-            R_pred, t_pred, lms.pos, lms.valid,
-            last["bindings"], last["feats"].desc,
-            feats.xy, feats.level, feats.desc, feats.valid,
-            self.cam_params)
-        if int(res.n_inliers) < 10:
-            # Widen search (th=15 -> 30), restart from last pose.
+        with self._stage("pose_pred"):
             res = tracking.track_motion_model(
-                last["R"], last["t"], lms.pos, lms.valid,
+                R_pred, t_pred, lms.pos, lms.valid,
                 last["bindings"], last["feats"].desc,
                 feats.xy, feats.level, feats.desc, feats.valid,
-                self.cam_params, radius=30.0)
+                self.cam_params,
+                last_angle=last["feats"].angle, feats_angle=feats.angle)
+            if int(res.n_inliers) < 10:
+                # Widen search (th=15 -> 30), restart from last pose.
+                res = tracking.track_motion_model(
+                    last["R"], last["t"], lms.pos, lms.valid,
+                    last["bindings"], last["feats"].desc,
+                    feats.xy, feats.level, feats.desc, feats.valid,
+                    self.cam_params, radius=30.0,
+                    last_angle=last["feats"].angle, feats_angle=feats.angle)
+            if int(res.n_inliers) < 10 and self.last_kf_id >= 0:
+                # TrackReferenceKeyFrame fallback (Tracking.cc:3931): match
+                # the current frame against the reference KF by descriptor
+                # (BoW semantics, ratio 0.7) instead of projection.
+                res = self._track_reference_keyframe(last, feats)
 
-        res = self._track_local_map(res, feats)
-
-        n_inliers = int(res.n_inliers)
+        with self._stage("lm_track"):
+            res = self._track_local_map(res, feats)
+            n_inliers = int(res.n_inliers)   # device sync closes the stage
         if n_inliers < 15:
             # RECENTLY_LOST (Tracking.cc:2925-2947): dead-reckon for a grace
             # period while attempting relocalization; then give the map up.
@@ -374,9 +414,32 @@ class MonoSlam:
                           t=res.t, stamp=stamp)
         self.frames_since_kf += 1
 
-        if not self.localization_only and self._need_new_keyframe(n_inliers):
-            self._create_keyframe(feats, res, stamp)
+        with self._stage("new_kf_decision"):
+            need_kf = (not self.localization_only
+                       and self._need_new_keyframe(n_inliers))
+        if need_kf:
+            with self._stage("total_mapping"):
+                self._create_keyframe(feats, res, stamp)
         return (res.R, res.t)
+
+    # ------------------------------------------------------------------
+    def _track_reference_keyframe(self, last, feats):
+        """Build the reference-KF kp->landmark table and run the BoW-style
+        fallback matcher (TrackReferenceKeyFrame, Tracking.cc:3931)."""
+        kf = self.last_kf_id
+        kfs = self.state.kfs
+        seen, kp_of = ms.landmarks_seen_by(self.state, kf)
+        n_feat = self.cfg.n_features
+        n_lm = self.cfg.max_lm
+        ref_lm = jnp.full((n_feat,), -1, jnp.int32).at[
+            jnp.where(seen, kp_of, n_feat)].set(
+                jnp.where(seen, jnp.arange(n_lm), -1), mode="drop")
+        return tracking.track_reference_keyframe(
+            last["R"], last["t"],
+            kfs.kp_desc[kf], kfs.kp_angle[kf], kfs.kp_valid[kf], ref_lm,
+            self.state.lms.pos, self.state.lms.valid,
+            feats.xy, feats.level, feats.desc, feats.valid, feats.angle,
+            self.cam_params)
 
     # ------------------------------------------------------------------
     def change_dataset(self):
@@ -470,44 +533,51 @@ class MonoSlam:
     def _create_keyframe(self, feats, track_res, stamp):
         """CreateNewKeyFrame (:4589) + the LocalMapping work for this KF."""
         kf_id = self.n_kf
-        self.state = ms.add_keyframe(self.state, kf_id, track_res.R,
-                                     track_res.t, stamp, feats, ur=self._ur)
-        self.n_kf += 1
-        self.frames_since_kf = 0
+        with self._stage("kf_insert"):
+            self.state = ms.add_keyframe(self.state, kf_id, track_res.R,
+                                         track_res.t, stamp, feats,
+                                         ur=self._ur)
+            self.n_kf += 1
+            self.frames_since_kf = 0
 
-        # Bind tracked landmarks as observations of the new KF.
-        bindings = track_res.bindings
-        kp_idx = jnp.arange(self.cfg.n_features, dtype=jnp.int32)
-        has = bindings >= 0
-        self.state = ms.add_observations(
-            self.state, jnp.maximum(bindings, 0), kf_id, kp_idx, has)
+            # Bind tracked landmarks as observations of the new KF.
+            bindings = track_res.bindings
+            kp_idx = jnp.arange(self.cfg.n_features, dtype=jnp.int32)
+            has = bindings >= 0
+            self.state = ms.add_observations(
+                self.state, jnp.maximum(bindings, 0), kf_id, kp_idx, has)
 
-        # Triangulate new landmarks against covisible neighbors.
-        counts = np.array(ms.covisibility_counts(
-            self.state, kf_id, self.cfg.max_kf))  # copy: np view is read-only
-        counts[kf_id] = 0
-        order = np.argsort(-counts)
-        neighbors = [int(k) for k in order[:self.cfg.triangulation_neighbors]
-                     if counts[k] >= 15 and bool(self.state.kfs.valid[k])]
-        free_kp = feats.valid & (bindings < 0)
-        for nb in neighbors:
-            self._triangulate_with(kf_id, nb, feats, free_kp)
-            # Refresh free mask: newly created landmarks bind kps.
-            seen, kp_of = ms.landmarks_seen_by(self.state, kf_id)
-            bound_now = jnp.zeros((self.cfg.n_features,), bool).at[
-                jnp.where(seen, kp_of, self.cfg.n_features)].set(
-                    True, mode="drop")
-            free_kp = feats.valid & ~bound_now
+        with self._stage("mp_creation"):
+            # Triangulate new landmarks against covisible neighbors.
+            counts = np.array(ms.covisibility_counts(
+                self.state, kf_id, self.cfg.max_kf))  # np view is read-only
+            counts[kf_id] = 0
+            order = np.argsort(-counts)
+            neighbors = [int(k) for k in
+                         order[:self.cfg.triangulation_neighbors]
+                         if counts[k] >= 15 and bool(self.state.kfs.valid[k])]
+            free_kp = feats.valid & (bindings < 0)
+            for nb in neighbors:
+                self._triangulate_with(kf_id, nb, feats, free_kp)
+                # Refresh free mask: newly created landmarks bind kps.
+                seen, kp_of = ms.landmarks_seen_by(self.state, kf_id)
+                bound_now = jnp.zeros((self.cfg.n_features,), bool).at[
+                    jnp.where(seen, kp_of, self.cfg.n_features)].set(
+                        True, mode="drop")
+                free_kp = feats.valid & ~bound_now
 
-        # Duplicate-landmark fusion (SearchInNeighbors, LocalMapping.cc:917).
-        self.state = mapping.fuse_duplicates(
-            self.state, jnp.asarray(kf_id, jnp.int32), self.cam_params,
-            float(self.cfg.width), float(self.cfg.height))
+            # Duplicate fusion (SearchInNeighbors, LocalMapping.cc:917).
+            self.state = mapping.fuse_duplicates(
+                self.state, jnp.asarray(kf_id, jnp.int32), self.cam_params,
+                float(self.cfg.width), float(self.cfg.height))
 
-        self._local_refine(kf_id, counts, order)
-        self.state = mapping.cull_landmarks(
-            self.state, jnp.asarray(kf_id, jnp.int32))
-        self._maybe_cull_keyframes(kf_id)
+        with self._stage("lba"):
+            self._local_refine(kf_id, counts, order)
+        with self._stage("mp_culling"):
+            self.state = mapping.cull_landmarks(
+                self.state, jnp.asarray(kf_id, jnp.int32))
+        with self._stage("kf_culling"):
+            self._maybe_cull_keyframes(kf_id)
         self.last_kf_id = kf_id
 
         # KF database feeds BOTH relocalization and loop detection
@@ -518,21 +588,28 @@ class MonoSlam:
         # Loop closing (LoopClosing::Run per-KF work, :100).
         if (self.loop_closer is not None and self.cfg.use_loop_closing
                 and self._loops_allowed()):
-            det = self.loop_closer.detect(self.state, kf_id, self.n_kf)
+            with self._stage("loop_detect"):
+                det = self.loop_closer.detect(self.state, kf_id, self.n_kf)
             if det is not None:
                 cand, corr = det
-                self.state = self.loop_closer.close(
-                    self.state, kf_id, cand, corr, self.n_kf)
-                # Fuse the drifted duplicates with their loop-side originals
-                # (SearchAndFuse, LoopClosing.cc:2689).
-                self.state = mapping.fuse_duplicates(
-                    self.state, jnp.asarray(kf_id, jnp.int32),
-                    self.cam_params, float(self.cfg.width),
-                    float(self.cfg.height))
-                # Global BA after loop correction
-                # (RunGlobalBundleAdjustment, LoopClosing.cc:2869).
-                self.state = mapping.global_ba(self.state, self.cam_params,
-                                               **self._ba_kwargs())
+                with self._stage("loop_correct"):
+                    self.state = self.loop_closer.close(
+                        self.state, kf_id, cand, corr, self.n_kf)
+                    # Fuse the drifted duplicates with their loop-side
+                    # originals (SearchAndFuse, LoopClosing.cc:2689).
+                    self.state = mapping.fuse_duplicates(
+                        self.state, jnp.asarray(kf_id, jnp.int32),
+                        self.cam_params, float(self.cfg.width),
+                        float(self.cfg.height))
+                with self._stage("global_ba"):
+                    # Global BA after loop correction
+                    # (RunGlobalBundleAdjustment, LoopClosing.cc:2869);
+                    # landmark-sharded across the mesh when devices > 1.
+                    self.state = mapping.global_ba(
+                        self.state, self.cam_params, mesh=self.mesh,
+                        **self._ba_kwargs())
+                    if self.timers is not None:
+                        jax.block_until_ready(self.state.kfs.R)
                 # Refresh the tracking context to the corrected pose.
                 self._last["R"] = self.state.kfs.R[kf_id]
                 self._last["t"] = self.state.kfs.t[kf_id]
@@ -610,7 +687,7 @@ class MonoSlam:
         # Merge BA over the welded map (merge variant of
         # LocalBundleAdjustment, src/Optimizer.cc:5195).
         self.state = mapping.global_ba(self.state, self.cam_params,
-                                       **self._ba_kwargs())
+                                       mesh=self.mesh, **self._ba_kwargs())
         self._last["R"] = self.state.kfs.R[kf_id]
         self._last["t"] = self.state.kfs.t[kf_id]
         self._vel = None

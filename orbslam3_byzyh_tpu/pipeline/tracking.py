@@ -40,13 +40,17 @@ def track_motion_model(R_pred, t_pred, lm_pos, lm_valid,
                        last_bind, last_desc,
                        feats_xy, feats_level, feats_desc, feats_valid,
                        cam_params, radius: float = 15.0,
-                       model_id: int = cam.PINHOLE) -> TrackResult:
+                       model_id: int = cam.PINHOLE,
+                       last_angle=None, feats_angle=None) -> TrackResult:
     """Match last frame's landmark bindings into the current frame by
     projection with the motion-model pose, then motion-only pose opt.
 
     last_bind: (N,) landmark ids bound to LAST frame keypoints (-1 = none).
     last_desc: (N, 8) last frame descriptors (used as the match source, like
     the reference matches against the last frame's descriptors).
+    last_angle/feats_angle: optional keypoint orientations enabling the
+    rotation-consistency histogram (SearchByProjection frame-vs-last-frame
+    applies ComputeThreeMaxima, ORBmatcher.cc:1951+:2060 tail).
     """
     n = last_bind.shape[0]
     lm_id = jnp.maximum(last_bind, 0)
@@ -66,6 +70,8 @@ def track_motion_model(R_pred, t_pred, lm_pos, lm_valid,
         feats_xy, feats_level, feats_desc, feats_valid,
         radius=rad, max_dist=matching.TH_HIGH, ratio=0.9,
         level_window=(-8, 8))
+    if last_angle is not None and feats_angle is not None:
+        mj = matching.apply_rotation_filter(mj, last_angle, feats_angle)
 
     # Pose optimization over the matched pairs.
     matched = mj >= 0
@@ -196,12 +202,54 @@ def track_local_map_stereo(R0, t0, bindings,
 @jax.jit
 def match_for_initialization(ref_xy, ref_desc, ref_valid, ref_level,
                              cur_xy, cur_desc, cur_valid, cur_level,
-                             radius: float = 100.0):
+                             radius: float = 100.0,
+                             ref_angle=None, cur_angle=None):
     """SearchForInitialization (ORBmatcher.cc:735): window search, level 0
-    only, ratio 0.9, mutual."""
+    only, ratio 0.9, mutual; optional rotation-consistency histogram
+    (the reference applies ComputeThreeMaxima here too, :840-860)."""
     mj, md = matching.match_window(
         ref_desc, cur_desc, ref_valid & (ref_level == 0),
         cur_valid & (cur_level == 0), ref_xy, cur_xy, radius,
         ref_level, cur_level, level_window=(-8, 8),
         max_dist=matching.TH_LOW, ratio=0.9, mutual=True)
+    if ref_angle is not None and cur_angle is not None:
+        mj = matching.apply_rotation_filter(mj, ref_angle, cur_angle)
     return mj
+
+
+@functools.partial(jax.jit, static_argnames=("model_id",))
+def track_reference_keyframe(R_last, t_last,
+                             ref_desc, ref_angle, ref_valid, ref_lm,
+                             lm_pos, lm_valid,
+                             feats_xy, feats_level, feats_desc, feats_valid,
+                             feats_angle, cam_params,
+                             model_id: int = cam.PINHOLE) -> TrackResult:
+    """TrackReferenceKeyFrame (/root/reference/src/Tracking.cc:3931): when
+    the motion model fails, match the current frame against the reference
+    keyframe by descriptor (SearchByBoW semantics: ratio 0.7, TH_LOW,
+    rotation histogram; the BoW word bucketing is an accelerator the dense
+    matcher doesn't need) and pose-optimize from the LAST frame's pose.
+
+    ref_lm: (N,) landmark id bound to each reference-KF keypoint (-1 none).
+    """
+    has_lm = (ref_lm >= 0) & lm_valid[jnp.maximum(ref_lm, 0)] & ref_valid
+    mj, md = matching.match(
+        ref_desc, feats_desc, has_lm, feats_valid,
+        max_dist=matching.TH_LOW, ratio=0.7, mutual=True,
+        angles=(ref_angle, feats_angle))
+
+    matched = mj >= 0
+    kp_idx = jnp.maximum(mj, 0)
+    pw = lm_pos[jnp.maximum(ref_lm, 0)]
+    obs_uv = feats_xy[kp_idx]
+    inv_s2 = INV_SIGMA2[feats_level[kp_idx]]
+    res = pose_opt.pose_optimization(
+        R_last, t_last, pw, obs_uv, inv_s2, matched, cam_params,
+        model_id=model_id)
+
+    bindings = jnp.full((feats_xy.shape[0],), -1, jnp.int32)
+    keep = matched & res.inlier
+    tgt = jnp.where(keep, kp_idx, feats_xy.shape[0])
+    bindings = bindings.at[tgt].set(jnp.where(keep, ref_lm, -1), mode="drop")
+    return TrackResult(R=res.R, t=res.t, bindings=bindings,
+                       n_inliers=res.n_inliers)

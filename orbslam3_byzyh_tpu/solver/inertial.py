@@ -185,38 +185,66 @@ class PoseInertialResult(NamedTuple):
     ba: jnp.ndarray
     inlier: jnp.ndarray
     n_inliers: jnp.ndarray
+    # Marginal information on the SOLVED frame's [pose, v, bg, ba] tangent —
+    # the ConstraintPoseImu prior carried into the next frame's solve
+    # (Optimizer::Marginalize, /root/reference/src/Optimizer.cc:1644, used
+    # by PoseInertialOptimizationLastFrame :983-1283).
+    H_marg: jnp.ndarray       # (15, 15)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters"))
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters",
+                                             "with_prior"))
 def pose_inertial_optimization(
         R0, p0, v0, bg0, ba0,                 # current-frame initial state
-        R_prev, p_prev, v_prev, bg_prev, ba_prev,  # previous state (fixed)
+        R_prev, p_prev, v_prev, bg_prev, ba_prev,  # previous state
         preint,                                # preintegration prev->cur
         pts_w, obs_uv, inv_sigma2, valid,      # visual obs in CURRENT frame
         cam_params, R_cb, t_cb,                # camera<-body extrinsics
         walk_info,                             # (6,) bias RW information
-        n_rounds: int = 4, n_iters: int = 10) -> PoseInertialResult:
+        prior_H=None,                          # (15,15) info on PREV state
+        n_rounds: int = 4, n_iters: int = 10,
+        with_prior: bool = False) -> PoseInertialResult:
     """Tracking-time visual-inertial pose optimization
     (PoseInertialOptimizationLastKeyFrame/Frame, Optimizer.cc:416,:983).
 
-    Optimizes the current frame's [pose(6), v(3), bg(3), ba(3)]; the previous
-    state is fixed. chi2 anneal schedule mirrors :1280-1283.
+    ``with_prior=False`` (LastKeyFrame variant): the previous state is FIXED
+    and only the current frame's 15-dim tangent is optimized.
+
+    ``with_prior=True`` (LastFrame variant): the previous frame is FREE,
+    constrained by the marginalization prior ``prior_H`` (a ConstraintPoseImu
+    whose linearization point is the previous state passed in); the joint
+    30-dim system is solved and the previous frame is Schur-marginalized out.
+
+    Either way ``H_marg`` returns the marginal information on the solved
+    frame, ready to be the next frame's prior. chi2 anneal mirrors
+    :1280-1283.
     """
     from ..ops import camera as cam
-    from . import lm as lm_mod
 
     Wsqrt = preint_info_sqrt(preint)
     chi2_sched = jnp.asarray([5.991, 5.991, 5.991, 5.991])
+    n_x = 30 if with_prior else 15
+    if prior_H is None:
+        prior_H = jnp.zeros((15, 15), jnp.float32)
+    # Information square root of the prior (damped for rank safety).
+    L_prior = jnp.linalg.cholesky(prior_H + 1e-6 * jnp.eye(15))
+
+    def split_state(xc, Rb, pb, vb, bgb, bab):
+        dpose, dv, dbg, dba = xc[:6], xc[6:9], xc[9:12], xc[12:15]
+        dR, dp = lie.se3_exp(dpose)
+        R = lie.normalize_rotation(jnp.matmul(dR, Rb, precision=_HI))
+        return R, pb + dp, vb + dv, bgb + dbg, bab + dba
 
     def split(x):
-        dpose, dv, dbg, dba = x[:6], x[6:9], x[9:12], x[12:15]
-        dR, dp = lie.se3_exp(dpose)
-        R = lie.normalize_rotation(jnp.matmul(dR, R0, precision=_HI))
-        p = p0 + dp
-        v = v0 + dv
-        bg = bg0 + dbg
-        ba = ba0 + dba
-        return R, p, v, bg, ba
+        """Current-frame state from the tangent vector."""
+        xc = x[15:] if with_prior else x
+        return split_state(xc, R0, p0, v0, bg0, ba0)
+
+    def split_prev(x):
+        if with_prior:
+            return split_state(x[:15], R_prev, p_prev, v_prev, bg_prev,
+                               ba_prev)
+        return R_prev, p_prev, v_prev, bg_prev, ba_prev
 
     def visual_residual(x):
         R, p, v, bg, ba = split(x)
@@ -233,12 +261,17 @@ def pose_inertial_optimization(
 
     def inertial_residual_x(x):
         R, p, v, bg, ba = split(x)
-        r9 = inertial_residual(R_prev, p_prev, v_prev, R, p, v, bg, ba,
-                               preint)
+        Rp, pp, vp, bgp, bap = split_prev(x)
+        r9 = inertial_residual(Rp, pp, vp, R, p, v, bg, ba, preint)
         r9w = Wsqrt @ r9
-        r_rw = jnp.concatenate([(bg - bg_prev), (ba - ba_prev)]) * \
+        r_rw = jnp.concatenate([(bg - bgp), (ba - bap)]) * \
             jnp.sqrt(walk_info)
-        return jnp.concatenate([r9w, r_rw])
+        if not with_prior:
+            return jnp.concatenate([r9w, r_rw])
+        # EdgePriorPoseImu on the previous frame: its tangent deviation from
+        # the prior's linearization point, whitened by the prior sqrt-info.
+        r_prior = L_prior.T @ x[:15]
+        return jnp.concatenate([r9w, r_rw, r_prior])
 
     def full_residual(x, inlier_w):
         rv, depth_ok = visual_residual(x)
@@ -247,7 +280,7 @@ def pose_inertial_optimization(
         return jnp.concatenate([rv.reshape(-1), ri])
 
     inlier = valid
-    x = jnp.zeros(15)
+    x = jnp.zeros(n_x)
     for rd in range(n_rounds):
         delta2 = chi2_sched[rd]
         inl_w = inlier.astype(jnp.float32)
@@ -283,6 +316,18 @@ def pose_inertial_optimization(
         chi2 = jnp.sum(rv * rv, -1)
         inlier = (chi2 <= delta2) & valid & depth_ok
 
+    # Marginal information for the next frame's ConstraintPoseImu.
+    J_fin = jax.jacfwd(lambda x_: full_residual(x_, inlier.astype(
+        jnp.float32)))(x)
+    H_fin = jnp.matmul(J_fin.T, J_fin, precision=_HI)
+    if with_prior:
+        Hpp = H_fin[:15, :15] + 1e-6 * jnp.eye(15)
+        Hpc = H_fin[:15, 15:]
+        H_marg = H_fin[15:, 15:] - Hpc.T @ jnp.linalg.solve(Hpp, Hpc)
+    else:
+        H_marg = H_fin
+
     R, p, v, bg, ba = split(x)
     return PoseInertialResult(R=R, p=p, v=v, bg=bg, ba=ba,
-                              inlier=inlier, n_inliers=inlier.sum())
+                              inlier=inlier, n_inliers=inlier.sum(),
+                              H_marg=H_marg)

@@ -16,6 +16,14 @@ eats the dense solve; no sparse machinery needed.
 DoF control: ``dof_mask`` zeroes tangent dims — [1]*7 = full Sim3 (mono loop
 closing), scale off = SE3 (stereo/inertial), 4-DoF yaw+t for the inertial
 pose graph (rotation x/y + scale off).
+
+Perturbation frame: by default the tangent is a LEFT perturbation of the
+world->camera Sim3 (exp(delta) * S), whose rotation axes live in the CAMERA
+frame. The 4-DoF mask must instead free yaw about the WORLD z axis (gravity)
+— the reference's ``VertexPose4DoF::UpdateW`` applies its update in the world
+frame (/root/reference/include/G2oTypes.h:166 region). ``right_perturb=True``
+switches the retraction and Jacobians to S * exp(delta), whose tangent axes
+live in the world frame, so DOF_4 then frees exactly world-yaw + translation.
 """
 
 from __future__ import annotations
@@ -55,25 +63,32 @@ class PoseGraphResult(NamedTuple):
     cost: jnp.ndarray
 
 
-def _edge_residual(delta_i, delta_j, Si, Sj, Minv):
-    """r(delta) = log(Minv * (exp(di) Si) * (exp(dj) Sj)^{-1})."""
+def _edge_residual(delta_i, delta_j, Si, Sj, Minv, right: bool):
+    """r(delta) = log(Minv * S_i(di) * S_j(dj)^{-1}) with the perturbed
+    vertex S(d) = exp(d) * S (left, camera-frame axes) or S * exp(d)
+    (right, world-frame axes — the 4-DoF convention)."""
     Ei = lie.sim3_exp(delta_i)
     Ej = lie.sim3_exp(delta_j)
-    Si_new = sim3_tuple_mul(Ei, Si)
-    Sj_new = sim3_tuple_mul(Ej, Sj)
+    if right:
+        Si_new = sim3_tuple_mul(Si, Ei)
+        Sj_new = sim3_tuple_mul(Sj, Ej)
+    else:
+        Si_new = sim3_tuple_mul(Ei, Si)
+        Sj_new = sim3_tuple_mul(Ej, Sj)
     rel = sim3_tuple_mul(Minv, sim3_tuple_mul(Si_new, sim3_tuple_inv(Sj_new)))
     return lie.sim3_log(*rel)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
+@functools.partial(jax.jit, static_argnames=("n_iters", "right_perturb"))
 def optimize_pose_graph(R, t, s, edges_i, edges_j, meas_R, meas_t, meas_s,
-                        edge_w, fixed, dof_mask, n_iters: int = 20
-                        ) -> PoseGraphResult:
+                        edge_w, fixed, dof_mask, n_iters: int = 20,
+                        right_perturb: bool = False) -> PoseGraphResult:
     """Gauss-Newton pose-graph optimization.
 
     R, t, s: (K,...) vertex Sim3s. edges_*: (E,) endpoint ids + measurements
     M_ij (relative S_i S_j^{-1} at build time). edge_w: (E,) weights (0 masks
-    padding edges). fixed: (K,) bool. dof_mask: (7,) float mask on tangent.
+    padding edges). fixed: (K,) bool. dof_mask: (7,) float mask on tangent
+    (see module docstring for the left/right perturbation-frame contract).
     """
     n_kf = R.shape[0]
     dof = jnp.asarray(dof_mask, jnp.float32)
@@ -85,7 +100,7 @@ def optimize_pose_graph(R, t, s, edges_i, edges_j, meas_R, meas_t, meas_s,
 
         def one(di, dj, SiR, Sit, Sis, SjR, Sjt, Sjs, MiR, Mit, Mis):
             return _edge_residual(di, dj, (SiR, Sit, Sis), (SjR, Sjt, Sjs),
-                                  (MiR, Mit, Mis))
+                                  (MiR, Mit, Mis), right_perturb)
 
         zeros = jnp.zeros((edges_i.shape[0], 7))
         r = jax.vmap(one)(zeros, zeros, *Si, *Sj, Minv[0], Minv[1], Minv[2])
@@ -131,7 +146,10 @@ def optimize_pose_graph(R, t, s, edges_i, edges_j, meas_R, meas_t, meas_s,
 
     def retract(Rv, tv, sv, dx):
         E = lie.sim3_exp(dx)
-        Rn, tn, sn = lie.sim3_mul(E[0], E[1], E[2], Rv, tv, sv)
+        if right_perturb:
+            Rn, tn, sn = lie.sim3_mul(Rv, tv, sv, E[0], E[1], E[2])
+        else:
+            Rn, tn, sn = lie.sim3_mul(E[0], E[1], E[2], Rv, tv, sv)
         keep = fixed
         Rn = jnp.where(keep[:, None, None], Rv, Rn)
         tn = jnp.where(keep[:, None], tv, tn)

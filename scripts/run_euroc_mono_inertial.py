@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def main():
+    from orbslam3_byzyh_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("settings")
     ap.add_argument("sequence", nargs="+")
@@ -78,6 +80,9 @@ def main():
         freq=cfg_yaml.imu.frequency)
     slam = MonoInertialSlam(cfg, imu_cfg)
     timers = StageTimers()
+    # Per-stage REGISTER_TIMES taxonomy: the system's
+    # internal stages record into the same report.
+    slam.timers = timers
     clahe = cv2.createCLAHE(3.0, (8, 8)) if args.clahe else None
 
     # Multi-sequence = multi-session Atlas runs (SLAM.ChangeDataset()

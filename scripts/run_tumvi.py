@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def main():
+    from orbslam3_byzyh_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("settings")
     ap.add_argument("sequence", nargs="+")
@@ -112,6 +114,9 @@ def main():
         return img
 
     timers = StageTimers()
+    # Per-stage REGISTER_TIMES taxonomy: the system's
+    # internal stages record into the same report.
+    slam.timers = timers
     n_total = 0
     t_start = time.perf_counter()
     for si, seq_dir in enumerate(args.sequence):

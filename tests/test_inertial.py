@@ -144,3 +144,80 @@ class TestInertialInit:
         assert float(res.scale) == 1.0
         # Velocities should match GT closely (metric-consistent input).
         np.testing.assert_allclose(np.asarray(res.vel), vs, atol=0.05)
+
+
+class TestPoseInertialPrior:
+    """ConstraintPoseImu marginalization prior
+    (Optimizer::Marginalize /root/reference/src/Optimizer.cc:1644, consumed
+    by PoseInertialOptimizationLastFrame :983-1283)."""
+
+    CAM = jnp.asarray(np.array([400.0, 400.0, 320.0, 240.0], np.float32))
+
+    def _visual_obs(self, rng, R_wb, p, n_pts=48, noise=0.3):
+        """World points in front of the body-frame camera + pixel obs."""
+        pc = np.stack([rng.uniform(-1, 1, n_pts), rng.uniform(-1, 1, n_pts),
+                       rng.uniform(3, 6, n_pts)], -1).astype(np.float32)
+        pw = pc @ R_wb.T + p
+        uv = np.stack([400.0 * pc[:, 0] / pc[:, 2] + 320.0,
+                       400.0 * pc[:, 1] / pc[:, 2] + 240.0], -1)
+        uv = (uv + rng.normal(0, noise, uv.shape)).astype(np.float32)
+        return jnp.asarray(pw), jnp.asarray(uv)
+
+    def _solve(self, Rs, ps, vs, preints, idx, pts_w, uv, valid,
+               prior_H=None, with_prior=False, perturb=0.1):
+        pre = jax.tree.map(lambda x: x[idx - 1], preints)
+        rng = np.random.default_rng(7)
+        dR = np.asarray(lie.so3_exp(jnp.asarray(
+            rng.normal(0, 0.02, 3).astype(np.float32))))
+        walk_info = jnp.full((6,), 1e6, jnp.float32)
+        return inertial.pose_inertial_optimization(
+            jnp.asarray(dR @ Rs[idx]), jnp.asarray(ps[idx] + perturb),
+            jnp.asarray(vs[idx] + perturb), jnp.zeros(3), jnp.zeros(3),
+            jnp.asarray(Rs[idx - 1]), jnp.asarray(ps[idx - 1]),
+            jnp.asarray(vs[idx - 1]), jnp.zeros(3), jnp.zeros(3),
+            pre, pts_w, uv, jnp.ones(pts_w.shape[0]), valid,
+            self.CAM, jnp.eye(3), jnp.zeros(3), walk_info,
+            prior_H=prior_H, with_prior=with_prior)
+
+    def test_prior_mode_converges_and_is_psd(self):
+        rng = np.random.default_rng(2)
+        Rs, ps, vs, preints = make_kf_chain(n_kf=3, seg_steps=40)
+        pts1, uv1 = self._visual_obs(rng, Rs[1], ps[1])
+        pr1 = self._solve(Rs, ps, vs, preints, 1, pts1, uv1,
+                          jnp.ones(48, bool))
+        assert np.linalg.norm(np.asarray(pr1.p) - ps[1]) < 0.03
+        H1 = np.asarray(pr1.H_marg)
+        eig = np.linalg.eigvalsh(0.5 * (H1 + H1.T))
+        assert eig.min() > -1e-2, eig.min()
+
+        pts2, uv2 = self._visual_obs(rng, Rs[2], ps[2])
+        pr2 = self._solve(Rs, ps, vs, preints, 2, pts2, uv2,
+                          jnp.ones(48, bool), prior_H=pr1.H_marg,
+                          with_prior=True)
+        assert np.linalg.norm(np.asarray(pr2.p) - ps[2]) < 0.03
+        H2 = np.asarray(pr2.H_marg)
+        eig2 = np.linalg.eigvalsh(0.5 * (H2 + H2.T))
+        assert eig2.min() > -1e-2
+
+    def test_prior_tightens_sparse_solve(self):
+        """With only 4 visual points on the current frame, the carried
+        marginalization prior must pin the (otherwise gauge-deficient)
+        joint prev+cur solve — same solver with a ~zero prior drifts."""
+        rng = np.random.default_rng(3)
+        Rs, ps, vs, preints = make_kf_chain(n_kf=3, seg_steps=40)
+        pts1, uv1 = self._visual_obs(rng, Rs[1], ps[1])
+        pr1 = self._solve(Rs, ps, vs, preints, 1, pts1, uv1,
+                          jnp.ones(48, bool))
+
+        pts2, uv2 = self._visual_obs(rng, Rs[2], ps[2])
+        sparse = jnp.zeros(48, bool).at[:4].set(True)
+        pr_with = self._solve(Rs, ps, vs, preints, 2, pts2, uv2, sparse,
+                              prior_H=pr1.H_marg, with_prior=True)
+        pr_zero = self._solve(Rs, ps, vs, preints, 2, pts2, uv2, sparse,
+                              prior_H=jnp.zeros((15, 15)), with_prior=True)
+        err_with = np.linalg.norm(np.asarray(pr_with.p) - ps[2]) + \
+            np.linalg.norm(np.asarray(pr_with.v) - vs[2])
+        err_zero = np.linalg.norm(np.asarray(pr_zero.p) - ps[2]) + \
+            np.linalg.norm(np.asarray(pr_zero.v) - vs[2])
+        assert err_with < err_zero, (err_with, err_zero)
+        assert err_with < 0.2, err_with

@@ -52,10 +52,15 @@ def build_circular_map(rng, n_kf=16, drift_scale=1.015, n_revisit=1,
     # Shared descriptor pool: revisited region re-observes the same descs.
     descs = rng.integers(0, 2**32, (MAX_LM, 8), dtype=np.uint32)
 
-    # GT circle poses.
+    # GT circle poses. Revisit KFs sit one circle-step BEHIND the keyframe
+    # whose landmarks they re-observe (ang(revisit_of - 1)), so the
+    # re-observed points are in front of the camera and inside the FOV —
+    # continuing around the circle would put them ~67 deg off-axis and the
+    # guided-projection ladder stages would (correctly) find nothing.
     Rs_gt, cs_gt = [], []
     for k in range(n_kf):
-        ang = 2 * np.pi * k / n_kf
+        step = (k - (n_kf - n_revisit) - 1) if k >= n_kf - n_revisit else k
+        ang = 2 * np.pi * step / n_kf
         R_wc = np.asarray(lie.so3_exp(jnp.asarray(
             np.array([0, ang, 0], np.float32))))
         c = np.array([np.sin(ang) * 4, 0, 4 - np.cos(ang) * 4], np.float32)
@@ -108,13 +113,18 @@ def build_circular_map(rng, n_kf=16, drift_scale=1.015, n_revisit=1,
 
         da = np.linalg.norm(pts_cam, axis=-1).astype(np.float32)
         slots = jnp.asarray(lm_cursor + np.arange(n_pts))
+        # Second observation in the NEXT keyframe (kp slots n_pts..2n_pts-1,
+        # distinct from its own patch's 0..n_pts-1 so kp->lm maps stay
+        # one-to-one) — consecutive KFs share landmarks, giving the map real
+        # covisibility for _same_place / essential-graph edges.
+        kf_b = k + 1 if k + 1 < n_kf else k
+        kp_b = (jnp.arange(n_pts, 2 * n_pts, dtype=jnp.int32) if kf_b != k
+                else jnp.arange(n_pts, dtype=jnp.int32))
         state = ms.add_landmarks(
             state, slots, jnp.asarray(pts_world),
             jnp.asarray(descs[desc_rows]),
             k, jnp.arange(n_pts, dtype=jnp.int32),
-            # second obs slot: same KF (a kp binds ONE landmark; using
-            # another KF's kp indices would corrupt the kp->lm maps)
-            k, jnp.arange(n_pts, dtype=jnp.int32),
+            kf_b, kp_b,
             jnp.ones(n_pts, bool),
             jnp.zeros((n_pts, 3)), jnp.asarray(da / 1.2 ** 7),
             jnp.asarray(da))

@@ -158,3 +158,76 @@ class TestPoseGraph:
         c_gt = -Rs_gt[-1].T @ ts_gt[-1]
         c_before = -Rs_o[-1].T @ (ts_o[-1])
         assert np.linalg.norm(c_after - c_gt) < np.linalg.norm(c_before - c_gt)
+
+    def test_4dof_world_yaw_preserves_gravity(self, rng):
+        """Inertial pose graph (OptimizeEssentialGraph4DoF): with cameras
+        PITCHED away from the world axes, the 4-DoF graph must still correct
+        a pure world-yaw drift, and its corrections must not tilt the
+        gravity direction seen by any camera — this requires the tangent's
+        free rotation axis to live in the WORLD frame (right perturbation);
+        a camera-frame (left) z-rotation would instead roll about the
+        optical axis and tilt the gravity-aligned map."""
+        n_kf = 12
+        pitch = np.asarray(lie.so3_exp(jnp.asarray(
+            np.array([0.5, 0, 0], np.float32))))     # 28 deg camera pitch
+        Rs_gt, ts_gt, cs_gt = [], [], []
+        for k in range(n_kf):
+            ang = 2 * np.pi * k / n_kf
+            yaw = np.asarray(lie.so3_exp(jnp.asarray(
+                np.array([0, 0, ang], np.float32))))  # yaw about world z
+            R_wc = yaw @ pitch
+            c = np.array([np.cos(ang) * 3, np.sin(ang) * 3, 1.0], np.float32)
+            Rs_gt.append(R_wc.T)
+            ts_gt.append(-R_wc.T @ c)
+            cs_gt.append(c)
+        Rs_gt, ts_gt = np.stack(Rs_gt), np.stack(ts_gt)
+
+        # Drift: growing pure WORLD-yaw error composed onto each pose.
+        Rs_o, ts_o = [], []
+        for k in range(n_kf):
+            dpsi = 0.04 * k
+            E = np.asarray(lie.so3_exp(jnp.asarray(
+                np.array([0, 0, dpsi], np.float32))))
+            # Tcw_drift = Tcw_gt o E (world-side composition).
+            Rs_o.append(Rs_gt[k] @ E)
+            ts_o.append(ts_gt[k])
+        Rs_o, ts_o = np.stack(Rs_o).astype(np.float32), np.stack(ts_o)
+
+        ei, ej, mR, mt, ms_, w = [], [], [], [], [], []
+        for k in range(1, n_kf):
+            Rrel, trel, _ = pose_graph.relative_sim3(
+                jnp.asarray(Rs_o[k]), jnp.asarray(ts_o[k]), jnp.asarray(1.0),
+                jnp.asarray(Rs_o[k - 1]), jnp.asarray(ts_o[k - 1]),
+                jnp.asarray(1.0))
+            ei.append(k); ej.append(k - 1)
+            mR.append(np.asarray(Rrel)); mt.append(np.asarray(trel))
+            ms_.append(1.0); w.append(1.0)
+        Rrel, trel, _ = pose_graph.relative_sim3(
+            jnp.asarray(Rs_gt[-1]), jnp.asarray(ts_gt[-1]), jnp.asarray(1.0),
+            jnp.asarray(Rs_gt[0]), jnp.asarray(ts_gt[0]), jnp.asarray(1.0))
+        ei.append(n_kf - 1); ej.append(0)
+        mR.append(np.asarray(Rrel)); mt.append(np.asarray(trel))
+        ms_.append(1.0); w.append(5.0)
+
+        res = pose_graph.optimize_pose_graph(
+            jnp.asarray(Rs_o), jnp.asarray(ts_o), jnp.ones(n_kf),
+            jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+            jnp.asarray(np.stack(mR)), jnp.asarray(np.stack(mt)),
+            jnp.asarray(ms_, jnp.float32), jnp.asarray(w, jnp.float32),
+            jnp.zeros(n_kf, bool).at[0].set(True),
+            pose_graph.DOF_4, n_iters=30, right_perturb=True)
+
+        R_out = np.asarray(res.R)
+        # Yaw drift corrected: rotation error vs GT shrinks at the loop end.
+        def rot_err(Ra, Rb):
+            c = (np.trace(Ra.T @ Rb) - 1) / 2
+            return np.arccos(np.clip(c, -1, 1))
+        assert rot_err(R_out[-1], Rs_gt[-1]) < 0.5 * rot_err(Rs_o[-1], Rs_gt[-1])
+        # Gravity invariance: the world-z direction expressed in each camera
+        # must be untouched by the correction (yaw about gravity only).
+        ez = np.array([0, 0, 1.0], np.float32)
+        g_before = Rs_o @ ez          # (K, 3)
+        g_after = R_out @ ez
+        tilt = np.arccos(np.clip((g_before * g_after).sum(-1), -1, 1))
+        assert tilt.max() < 1e-3, tilt.max()
+        assert np.all(np.abs(np.asarray(res.s) - 1.0) < 1e-4)
