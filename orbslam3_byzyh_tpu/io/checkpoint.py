@@ -59,7 +59,12 @@ def save_atlas(path: str, atlas: atlas_mod.Atlas):
     for i, (state, meta) in enumerate(zip(atlas.maps, atlas.meta)):
         fname = f"map_{i}.npz"
         fpath = os.path.join(path, fname)
-        np.savez_compressed(fpath, **_flatten_state(state))
+        extra = {}
+        if meta.kf_parent is not None:
+            # Spanning-tree parents (essential-graph tree edges) persist
+            # with the map, like KeyFrame::mpParent under boost serialize.
+            extra["meta.kf_parent"] = np.asarray(meta.kf_parent)
+        np.savez_compressed(fpath, **_flatten_state(state), **extra)
         manifest["maps"].append({
             "file": fname, "n_kf": meta.n_kf, "n_lm": meta.n_lm,
             "sha256": _digest(fpath),
@@ -85,7 +90,10 @@ def load_atlas(path: str) -> atlas_mod.Atlas:
                           "(corrupted checkpoint)")
         with np.load(fpath) as z:
             atlas.maps.append(_unflatten_state(z))
+            parent = (np.asarray(z["meta.kf_parent"])
+                      if "meta.kf_parent" in z.files else None)
         atlas.meta.append(atlas_mod.MapMeta(n_kf=entry["n_kf"],
-                                            n_lm=entry["n_lm"]))
+                                            n_lm=entry["n_lm"],
+                                            kf_parent=parent))
     atlas.current = manifest["current"]
     return atlas

@@ -163,8 +163,23 @@ def load_settings(path: str) -> SlamSettings:
         fps = float(_read(fs, "Camera.fps", 30.0))
         rgb = bool(int(_read(fs, "Camera.RGB", 1)))
         bf = _read(fs, "Camera.bf")
+        if bf is None:
+            # Rectified-pair configs give the metric baseline instead
+            # (Stereo.b; bf = b * fx — Settings.cc rectified branch).
+            b = _read(fs, "Stereo.b")
+            if b is not None:
+                bf = float(b) * float(cam1.params[0])
         th_depth = _read(fs, "Camera.ThDepth") or _read(fs, "Stereo.ThDepth")
         Tlr = _read(fs, "Stereo.T_c1_c2")
+        if Tlr is None:
+            # Legacy 3x4 left->right key (Stereo.Tlr / Tlr, TUM-VI yamls).
+            Tlr = _read(fs, "Stereo.Tlr")
+            if Tlr is None:
+                Tlr = _read(fs, "Tlr")
+        if Tlr is not None:
+            Tlr = np.asarray(Tlr, np.float64)
+            if Tlr.shape == (3, 4):
+                Tlr = np.vstack([Tlr, [0.0, 0.0, 0.0, 1.0]])
 
         chessboard = None
         use_cb = _read(fs, "UseChessboardInit")

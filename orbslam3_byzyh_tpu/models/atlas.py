@@ -23,6 +23,10 @@ from . import map_state as ms
 class MapMeta:
     n_kf: int = 0
     n_lm: int = 0
+    # Spanning-tree parents (np int32 (max_kf,), -1 = root/unset): the
+    # essential graph's tree edges (KeyFrame::GetParent,
+    # /root/reference/include/KeyFrame.h:233-247). Lazily allocated.
+    kf_parent: object = None
 
 
 class Atlas:
@@ -147,8 +151,20 @@ class Atlas:
         )
 
         self.maps[self.current] = cur._replace(kfs=kfs, lms=lms, obs=obs)
+        # Transplant the other map's spanning tree, ids shifted by kf_off.
+        parent = self.meta[self.current].kf_parent
+        po = mo.kf_parent
+        if po is not None or parent is not None:
+            if parent is None:
+                parent = np.full(max_kf, -1, np.int32)
+            parent = parent.copy()
+            if po is not None:
+                src = po[:kf_take]
+                parent[kf_off:kf_off + kf_take] = np.where(
+                    src >= 0, src + kf_off, -1)
         self.meta[self.current] = MapMeta(n_kf=kf_off + kf_take,
-                                          n_lm=lm_off + lm_take)
+                                          n_lm=lm_off + lm_take,
+                                          kf_parent=parent)
         # Drop the merged-away map.
         del self.maps[other_idx]
         del self.meta[other_idx]

@@ -185,6 +185,27 @@ def covisibility_counts(state: MapState, kf_id: int, max_kf: int) -> jnp.ndarray
     return counts[:max_kf]
 
 
+@jax.jit
+def covisibility_matrix(state: MapState) -> jnp.ndarray:
+    """(K, K) pairwise shared-landmark counts — the FULL covisibility graph
+    the essential-graph optimizer needs (covisibility edges over all KF
+    pairs with weight >= threshold, Optimizer::OptimizeEssentialGraph,
+    /root/reference/src/Optimizer.cc:4509 + KeyFrame::UpdateConnections).
+    One (L, K) indicator matmul on the MXU replaces the reference's per-KF
+    observation-map walks."""
+    max_kf = state.kfs.valid.shape[0]
+    max_lm = state.lms.pos.shape[0]
+    ov = state.obs.valid & (state.obs.kf >= 0) & state.lms.valid[:, None]
+    cols = jnp.where(ov, state.obs.kf, max_kf)
+    rows = jnp.broadcast_to(jnp.arange(max_lm)[:, None], cols.shape)
+    ind = jnp.zeros((max_lm, max_kf + 1), jnp.float32).at[
+        rows.reshape(-1), cols.reshape(-1)].add(1.0)
+    ind = jnp.minimum(ind[:, :max_kf], 1.0)
+    C = jnp.einsum("lk,lm->km", ind, ind,
+                   precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    return C * (1 - jnp.eye(max_kf, dtype=jnp.int32))
+
+
 def landmarks_seen_by(state: MapState, kf_id: int):
     """(L,) bool mask + (L,) keypoint index of landmarks observed by kf_id."""
     hit = (state.obs.kf == kf_id) & state.obs.valid

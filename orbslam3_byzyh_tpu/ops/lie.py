@@ -186,7 +186,14 @@ def normalize_rotation(R: jnp.ndarray) -> jnp.ndarray:
 @normalize_rotation.defjvp
 def _normalize_rotation_jvp(primals, tangents):
     (R,), (dR,) = primals, tangents
-    return normalize_rotation(R), dR
+    Rn = normalize_rotation(R)
+    # Project the incoming tangent onto the output's SO(3) tangent space:
+    # dR_out = Rn * skew(Rn^T dR) = 0.5 * (dR - Rn dR^T Rn). Exact for
+    # on-manifold perturbations (where Rn^T dR is already skew) and degrades
+    # gracefully for off-manifold inputs instead of silently passing their
+    # symmetric (normal-space) component through as a wrong Jacobian.
+    dRn = 0.5 * (dR - _mm(Rn, _mm(jnp.swapaxes(dR, -1, -2), Rn)))
+    return Rn, dRn
 
 
 # ---------------------------------------------------------------------------

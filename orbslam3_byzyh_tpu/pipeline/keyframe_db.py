@@ -71,6 +71,74 @@ class KeyframeDatabase:
         ids = np.where(top_s >= max(min_score, 1e-6), top_i, -1)
         return ids, top_s, words
 
+    def query_groups(self, desc: jnp.ndarray, kp_valid: jnp.ndarray,
+                     covis: jnp.ndarray, exclude: np.ndarray | None = None,
+                     top_n: int = 3, n_covisibles: int = 10):
+        """Covisibility-group accumulated candidate scoring
+        (DetectNBestCandidates, /root/reference/src/KeyFrameDatabase.cc:649):
+
+          1. common-words count per stored KF, gated at
+             >= 0.8 x max-common-words (:714);
+          2. L1 tf-idf score for the survivors;
+          3. per-candidate group score = own + top-``n_covisibles``
+             covisible neighbours' scores (:738-760); each group reports
+             its best-scoring member;
+          4. top-N groups, deduplicated by best member.
+
+        covis: (K, K) shared-landmark counts (ms.covisibility_matrix).
+        Returns (ids, acc_scores, words) like ``query``; all scoring is one
+        fused device computation, read back once.
+        """
+        words = bow.transform(self.voc, desc, kp_valid)
+        qv = bow.bow_vector(self.voc, words)
+        valid = self.valid
+        if exclude is not None:
+            valid = valid & ~jnp.asarray(exclude)
+
+        # Distinct-shared-word counts: one (W,) x (K, W) mask matvec.
+        qmask = (qv > 0).astype(jnp.float32)
+        kmask = (self.vecs > 0).astype(jnp.float32)
+        common = kmask @ qmask
+        max_common = jnp.max(jnp.where(valid, common, 0.0))
+        pass_gate = valid & (common > 0.8 * max_common) & (common > 0)
+
+        scores = bow.score_against_database(qv, self.vecs, valid)
+        s_g = jnp.where(pass_gate, scores, 0.0)
+
+        # Group accumulation over each candidate's best covisible
+        # neighbours (only members that themselves share words count —
+        # s_g is already zero elsewhere).
+        cv, ci = jax.lax.top_k(covis, n_covisibles)       # (K, n)
+        nb_ok = cv > 0
+        nb_scores = jnp.where(nb_ok, s_g[ci], 0.0)
+        acc = s_g + nb_scores.sum(-1)
+        acc = jnp.where(pass_gate, acc, 0.0)
+        # Best member per group (the KF the verification ladder runs on).
+        member_scores = jnp.concatenate([s_g[:, None], nb_scores], -1)
+        member_ids = jnp.concatenate(
+            [jnp.arange(covis.shape[0])[:, None], ci], -1)
+        best = member_ids[jnp.arange(covis.shape[0]),
+                          jnp.argmax(member_scores, -1)]
+
+        k = min(top_n * 3, covis.shape[0])   # headroom for dedup
+        top_acc, top_group = jax.lax.top_k(acc, k)
+        top_best = best[top_group]
+        top_acc = np.asarray(top_acc)
+        top_best = np.asarray(top_best)
+        ids, out_s, seen = [], [], set()
+        for b, s in zip(top_best.tolist(), top_acc.tolist()):
+            if s <= 1e-6 or b in seen:
+                continue
+            seen.add(b)
+            ids.append(b)
+            out_s.append(s)
+            if len(ids) == top_n:
+                break
+        while len(ids) < top_n:
+            ids.append(-1)
+            out_s.append(0.0)
+        return np.asarray(ids), np.asarray(out_s), words
+
     def word_pair_mask(self, words_a: jnp.ndarray, kf_id: int) -> jnp.ndarray:
         """(Na, Nb) mask: same vocabulary word (SearchByBoW bucket gate)."""
         words_b = self.words[kf_id]

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import map_state as ms
-from ..ops import bow, matching, sim3_solve
+from ..ops import bow, lie, matching, sim3_solve
 from ..solver import pose_graph
 from .keyframe_db import KeyframeDatabase
 
@@ -73,6 +73,11 @@ class LoopCloser:
         # mnMergeNumCoincidences, LoopClosing.cc:445-497).
         self._streak = None        # dict(cand, count, miss, corr)
         self._merge_streak = None  # dict(map_idx, cand, count, miss, corr)
+        # Persistent loop/merge edges per map (KeyFrame::AddLoopEdge,
+        # /root/reference/include/KeyFrame.h:233-247): past closures stay
+        # hard constraints in every later essential-graph solve. Entries
+        # (i, j, (R, t, s) measurement M_ij at correction time).
+        self.loop_edges: dict[int, list] = {0: []}
 
     @property
     def db(self) -> KeyframeDatabase:
@@ -89,6 +94,7 @@ class LoopCloser:
         if fresh or map_idx not in self.dbs:
             self.dbs[map_idx] = KeyframeDatabase(self.voc, self.max_kf,
                                                  self.n_feat)
+            self.loop_edges[map_idx] = []
 
     def reset_active(self):
         """Active map was reset in place (ResetActiveMap)."""
@@ -96,17 +102,38 @@ class LoopCloser:
         self._merge_streak = None
         self.dbs[self.active] = KeyframeDatabase(self.voc, self.max_kf,
                                                  self.n_feat)
+        self.loop_edges[self.active] = []
+
+    def remap_keyframes(self, old2new, n_valid: int):
+        """Keyframe-slot compaction: remap the database AND the persistent
+        loop edges (edges with a dead endpoint die with it)."""
+        self.db.remap(old2new, n_valid)
+        edges = []
+        for i, j, m in self.loop_edges.get(self.active, []):
+            ni, nj = int(old2new[i]), int(old2new[j])
+            if ni >= 0 and nj >= 0:
+                edges.append((ni, nj, m))
+        self.loop_edges[self.active] = edges
 
     def on_maps_merged(self, kept_idx: int, removed_idx: int,
                        state: ms.MapState, kf_lo: int, kf_hi: int):
         """Map ``removed_idx`` was welded into ``kept_idx``; transplanted
-        keyframes occupy slots [kf_lo, kf_hi) of the merged state. Indices
-        above removed_idx shift down by one (Atlas.merge deletes the map);
-        ``kept_idx`` is the Atlas's post-deletion current index."""
+        keyframes occupy slots [kf_lo, kf_hi) of the merged state (other-map
+        KF k -> kf_lo + k, Atlas.merge). Indices above removed_idx shift
+        down by one (Atlas.merge deletes the map); ``kept_idx`` is the
+        Atlas's post-deletion current index."""
+        moved_edges = [
+            (i + kf_lo, j + kf_lo, m)
+            for i, j, m in self.loop_edges.get(removed_idx, [])
+            if i + kf_lo < kf_hi and j + kf_lo < kf_hi]
         self.dbs.pop(removed_idx, None)
+        self.loop_edges.pop(removed_idx, None)
         self.dbs = {(i - 1 if i > removed_idx else i): d
                     for i, d in self.dbs.items()}
+        self.loop_edges = {(i - 1 if i > removed_idx else i): e
+                           for i, e in self.loop_edges.items()}
         self.active = kept_idx
+        self.loop_edges.setdefault(self.active, []).extend(moved_edges)
         db = self.dbs[self.active]
         for k in range(kf_lo, kf_hi):
             db.add(k, state.kfs.kp_desc[k], state.kfs.kp_valid[k])
@@ -167,9 +194,12 @@ class LoopCloser:
         exclude[counts > 0] = True
         lo = max(0, kf_id - self.cfg.min_kf_gap)
         exclude[lo:] = True                    # recent KFs
-        ids, scores, words_q = self.db.query(
-            state.kfs.kp_desc[kf_id], state.kfs.kp_valid[kf_id],
-            exclude=exclude, top_n=3)
+        # Covisibility-group accumulated scoring + 0.8x common-words gate
+        # (DetectNBestCandidates, KeyFrameDatabase.cc:649-760).
+        covis = ms.covisibility_matrix(state)
+        ids, scores, words_q = self.db.query_groups(
+            state.kfs.kp_desc[kf_id], state.kfs.kp_valid[kf_id], covis,
+            exclude=exclude, top_n=3, n_covisibles=self.cfg.n_covisibles)
         for cand, score in zip(ids, scores):
             if cand < 0 or not bool(state.kfs.valid[cand]):
                 continue
@@ -215,8 +245,10 @@ class LoopCloser:
             if atlas.meta[idx].n_kf < 3:
                 continue
             other = atlas.maps[idx]
-            ids, scores, words_q = db.query(
-                kfs.kp_desc[kf_id], kfs.kp_valid[kf_id], top_n=3)
+            ids, scores, words_q = db.query_groups(
+                kfs.kp_desc[kf_id], kfs.kp_valid[kf_id],
+                ms.covisibility_matrix(other), top_n=3,
+                n_covisibles=self.cfg.n_covisibles)
             for cand in ids:
                 if cand < 0 or not bool(other.kfs.valid[cand]):
                     continue
@@ -412,11 +444,24 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def close(self, state: ms.MapState, kf_id: int, cand: int, correction,
-              n_kf: int) -> ms.MapState:
-        """Correct the loop: pose-graph over all KFs with the loop edge.
+              n_kf: int, span_parent=None) -> ms.MapState:
+        """Correct the loop: essential-graph pose optimization.
 
         correction: (R_m, t_m, s_m) with x_loop = s R x_drift + t — the
         world-frame Sim3 aligning the query's neighbourhood onto the loop.
+
+        Essential-graph structure parity (OptimizeEssentialGraph,
+        /root/reference/src/Optimizer.cc:4509-4700):
+          * spanning-tree edges (``span_parent``; temporal chain fallback),
+          * covisibility edges with weight >= threshold over ALL KF pairs
+            (one covisibility-matrix matmul),
+          * persistent loop/merge edges from every PAST closure
+            (KeyFrame::AddLoopEdge equivalents, stored per map),
+          * the new loop edge (weight 5).
+        Initial estimates: the corrected Sim3 is propagated through the
+        current KF's covisible group before the solve (CorrectLoop
+        :1306-1420 — S_k' = S_k ∘ M⁻¹ for the whole group); measurements
+        are built from the NON-corrected poses.
         """
         R_m, t_m, s_m, _ = correction
         kfs = state.kfs
@@ -429,46 +474,124 @@ class LoopCloser:
         Sq = (kfs.R[kf_id], kfs.t[kf_id], jnp.asarray(1.0))
         Sq_corr = pose_graph.sim3_tuple_mul(Sq, M_inv)
 
-        # Build edges: temporal chain + covisibility (> threshold) + loop.
-        # All relative measurements come out of ONE vmapped call (the
-        # reference builds g2o edges serially, EssentialGraph loop
-        # :1450-1560; a per-edge jit call here would cost O(n_kf) device
-        # round-trips at every closure).
-        counts = np.asarray(ms.covisibility_counts(state, kf_id, self.max_kf))
-        cov = [int(k) for k in np.where(counts >= self.cfg.cov_edge_threshold)[0]
-               if abs(int(k) - kf_id) > 1 and k < n_kf]
-        ei = np.concatenate([np.arange(1, n_kf),
-                             np.full(len(cov), kf_id)]).astype(np.int32)
-        ej = np.concatenate([np.arange(0, n_kf - 1),
-                             np.asarray(cov, np.int64)]).astype(np.int32)
+        # ---- Edge set over the FULL covisibility graph. ----
+        C = np.asarray(ms.covisibility_matrix(state))
+        valid_np = np.asarray(kfs.valid)
+        pairs = set()
+        cur_ei, cur_ej, cur_w = [], [], []          # measured from poses
+
+        def add_cur(i, j, w):
+            key = (min(i, j), max(i, j))
+            if i == j or key in pairs:
+                return
+            if not (valid_np[i] and valid_np[j]):
+                return
+            pairs.add(key)
+            cur_ei.append(i)
+            cur_ej.append(j)
+            cur_w.append(w)
+
+        # 1. Spanning tree (mirrors KeyFrame::GetParent chains; the
+        #    temporal chain is the fallback when the caller keeps none).
+        if span_parent is not None:
+            for k in range(n_kf):
+                p = int(span_parent[k])
+                if p >= 0:
+                    add_cur(k, p, 1.0)
+        else:
+            for k in range(1, n_kf):
+                add_cur(k, k - 1, 1.0)
+        # 2. Covisibility edges (weight >= threshold) over all pairs.
+        iu, ju = np.nonzero(np.triu(C, 1) >= self.cfg.cov_edge_threshold)
+        for i, j in zip(iu.tolist(), ju.tolist()):
+            if i < n_kf and j < n_kf:
+                add_cur(i, j, 1.0)
+
+        ei = np.asarray(cur_ei, np.int32)
+        ej = np.asarray(cur_ej, np.int32)
         ei_j = jnp.asarray(ei)
         ej_j = jnp.asarray(ej)
         ones = jnp.ones(len(ei))
         mR_b, mt_b, ms_b = jax.vmap(pose_graph.relative_sim3)(
             kfs.R[ei_j], kfs.t[ei_j], ones, kfs.R[ej_j], kfs.t[ej_j], ones)
-        # Loop edge: measurement = S_q_corrected * S_c^{-1}.
+        w_b = np.asarray(cur_w, np.float32)
+
+        # 3. Persistent loop edges from past closures (stored measurements).
+        stored = [e for e in self.loop_edges.get(self.active, [])
+                  if e[0] < n_kf and e[1] < n_kf
+                  and valid_np[e[0]] and valid_np[e[1]]]
+        # 4. The new loop edge: measurement = S_q_corrected * S_c^{-1}.
         Sc = (kfs.R[cand], kfs.t[cand], jnp.asarray(1.0))
-        Mrel = pose_graph.sim3_tuple_mul(Sq_corr, pose_graph.sim3_tuple_inv(Sc))
-        ei = np.concatenate([ei, [kf_id]]).astype(np.int32)
-        ej = np.concatenate([ej, [cand]]).astype(np.int32)
-        mR = jnp.concatenate([mR_b, Mrel[0][None]])
-        mt = jnp.concatenate([mt_b, Mrel[1][None]])
-        ms_w = jnp.concatenate([ms_b, Mrel[2][None]])
-        w = jnp.concatenate([jnp.ones(len(ei) - 1), jnp.asarray([5.0])])
+        Mrel = pose_graph.sim3_tuple_mul(Sq_corr,
+                                         pose_graph.sim3_tuple_inv(Sc))
+        ei = np.concatenate([ei, [e[0] for e in stored], [kf_id]]).astype(
+            np.int32)
+        ej = np.concatenate([ej, [e[1] for e in stored], [cand]]).astype(
+            np.int32)
+        mR = jnp.concatenate(
+            [mR_b] + [jnp.asarray(e[2][0])[None] for e in stored]
+            + [Mrel[0][None]])
+        mt = jnp.concatenate(
+            [mt_b] + [jnp.asarray(e[2][1])[None] for e in stored]
+            + [Mrel[1][None]])
+        ms_w = jnp.concatenate(
+            [ms_b] + [jnp.asarray(e[2][2], jnp.float32)[None]
+                      for e in stored]
+            + [Mrel[2][None]])
+        w = jnp.concatenate([jnp.asarray(w_b),
+                             jnp.full(len(stored) + 1, 5.0)])
+
+        # Pad the edge list to a bucket so closures reuse the compiled
+        # pose-graph kernel instead of recompiling per edge count.
+        E = len(ei)
+        E_pad = ((E + 127) // 128) * 128
+        pad = E_pad - E
+        if pad:
+            ei = np.concatenate([ei, np.zeros(pad, np.int32)])
+            ej = np.concatenate([ej, np.zeros(pad, np.int32)])
+            eyeR = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                    (pad, 3, 3))
+            mR = jnp.concatenate([mR, eyeR])
+            mt = jnp.concatenate([mt, jnp.zeros((pad, 3), jnp.float32)])
+            ms_w = jnp.concatenate([ms_w, jnp.ones(pad, jnp.float32)])
+            w = jnp.concatenate([w, jnp.zeros(pad, jnp.float32)])
 
         fixed = np.zeros(self.max_kf, bool)
         fixed[cand] = True
         fixed[0] = True
 
+        # ---- Initial estimates: propagate the correction through the
+        # current covisible group (S_k' = S_k ∘ M⁻¹). ----
+        group = np.zeros(self.max_kf, bool)
+        group[kf_id] = True
+        group[C[kf_id] > 0] = True
+        group &= valid_np
+        group[cand] = False
+        group[0] = False
+        g = jnp.asarray(group)
+        R0g, t0g, s0g = lie.sim3_mul(
+            kfs.R, kfs.t, jnp.ones(self.max_kf),
+            jnp.broadcast_to(M_inv[0], kfs.R.shape),
+            jnp.broadcast_to(M_inv[1], kfs.t.shape),
+            jnp.broadcast_to(M_inv[2], (self.max_kf,)))
+        R0 = jnp.where(g[:, None, None], R0g, kfs.R)
+        t0 = jnp.where(g[:, None], t0g, kfs.t)
+        s0 = jnp.where(g, s0g, jnp.ones(self.max_kf))
+
         dof = self._posegraph_dof()
         res = pose_graph.optimize_pose_graph(
-            kfs.R, kfs.t, jnp.ones(self.max_kf),
+            R0, t0, s0,
             jnp.asarray(ei), jnp.asarray(ej),
             mR, mt, ms_w.astype(jnp.float32), w.astype(jnp.float32),
             jnp.asarray(fixed), dof, n_iters=25,
             # 4-DoF frees yaw about WORLD z (gravity), which needs the
             # world-frame (right) perturbation convention.
             right_perturb=(dof == pose_graph.DOF_4))
+
+        # Persist the verified loop constraint for future closures.
+        self.loop_edges.setdefault(self.active, []).append(
+            (int(kf_id), int(cand),
+             (np.asarray(Mrel[0]), np.asarray(Mrel[1]), float(Mrel[2]))))
 
         # Correct landmarks through their first-observer keyframe:
         # p' = S_k'^{-1} (S_k_old (p)) (CorrectLoop :1350-1420 semantics).

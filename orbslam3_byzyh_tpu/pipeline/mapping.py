@@ -299,6 +299,15 @@ def global_ba(state: ms.MapState, cam_params, model_id: int = cam.PINHOLE,
     distributed BA (new capability vs the reference, SURVEY §2.3)."""
     free = state.kfs.valid & (
         jnp.arange(state.kfs.valid.shape[0]) != 0)
+    if mesh is not None and state.lms.pos.shape[0] % mesh.size != 0:
+        # shard_map needs the landmark axis divisible by the mesh; an
+        # auto-created mesh with an odd max_lm must not crash the first
+        # loop closure — fall back to the single-device path.
+        from ..utils import verbose
+        verbose.print_mess(
+            f"global_ba: max_lm={state.lms.pos.shape[0]} not divisible by "
+            f"mesh size {mesh.size}; falling back to single-device BA")
+        mesh = None
     if mesh is None:
         return local_ba(state, free, cam_params, model_id,
                         use_stereo=use_stereo, bf=bf)
@@ -312,6 +321,111 @@ def global_ba(state: ms.MapState, cam_params, model_id: int = cam.PINHOLE,
     # single-device layout between keyframes.
     res = jax.device_put(res, NamedSharding(mesh, P()))
     return _apply_ba_result(state, res)
+
+
+def _alloc_landmark_slots(lm_valid: jnp.ndarray, good: jnp.ndarray):
+    """Allocate a free landmark slot per ``good`` row, device-side.
+
+    Free slots (``~lm_valid``) are ranked by cumsum; good rows take ranks in
+    order. Culled slots are recycled immediately — the host-side compaction
+    becomes a rare safety valve instead of a correctness requirement.
+    Returns (slots, ok): ok is good & "a slot was available".
+    """
+    L = lm_valid.shape[0]
+    free = ~lm_valid
+    n_free = free.sum()
+    rank_free = jnp.cumsum(free) - 1
+    slot_of_rank = jnp.zeros((L,), jnp.int32).at[
+        jnp.where(free, rank_free, L)].set(
+            jnp.arange(L, dtype=jnp.int32), mode="drop")
+    r = jnp.cumsum(good) - 1
+    ok = good & (r < n_free)
+    slots = slot_of_rank[jnp.clip(r, 0, L - 1)]
+    return slots, ok
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model_id", "use_stereo", "n_neighbors", "n_free", "n_window",
+    "n_lm_window", "do_kf_cull"))
+def keyframe_bundle(state: ms.MapState, kf_id, R, t, stamp, feats, ur,
+                    bindings, cam_params, n_lm_hwm,
+                    img_w: float, img_h: float,
+                    model_id: int = cam.PINHOLE, use_stereo: bool = False,
+                    bf: float = 0.0, n_neighbors: int = 3, n_free: int = 9,
+                    n_window: int = 32, n_lm_window: int = 4096,
+                    do_kf_cull: bool = True):
+    """The WHOLE per-keyframe LocalMapping work as one device dispatch:
+    KF insert + observation binding, neighbour selection (device top-k),
+    epipolar triangulation against ``n_neighbors`` covisible KFs with
+    device-side landmark-slot allocation, duplicate fusion, windowed local
+    BA, landmark culling and keyframe culling.
+
+    Replaces the host-orchestrated stage sequence (which cost ~10 blocking
+    host<->device round-trips per keyframe) so the host can dispatch the
+    bundle and keep feeding tracking frames — the array-state analog of the
+    reference's Tracking ∥ LocalMapping pipeline (System.cc:223-265, KF
+    queue LocalMapping.cc:361-370). Small results return in ``info`` for a
+    single deferred host read:
+
+      info = [parent, parent_count, n_lm_hwm', R_kf(9), t_kf(3)]  (15 floats)
+
+    Returns (state', bindings', info, culled_mask).
+    """
+    n_feat = feats.xy.shape[0]
+    kf_id = jnp.asarray(kf_id, jnp.int32)
+    state = ms.add_keyframe(state, kf_id, R, t, stamp, feats, ur=ur)
+    kp_idx = jnp.arange(n_feat, dtype=jnp.int32)
+    state = ms.add_observations(state, jnp.maximum(bindings, 0), kf_id,
+                                kp_idx, bindings >= 0)
+
+    max_kf = state.kfs.valid.shape[0]
+    counts = ms.covisibility_counts(state, kf_id, max_kf)
+    counts = jnp.where(state.kfs.valid, counts, 0).at[kf_id].set(0)
+    cv, ci = jax.lax.top_k(counts, n_neighbors)
+
+    # Triangulate new landmarks against the best covisible neighbours
+    # (CreateNewMapPoints :506; >= 15 shared points gate as before).
+    free_kp = feats.valid & (bindings < 0)
+    hwm = jnp.asarray(n_lm_hwm, jnp.int32)
+    for i in range(n_neighbors):
+        nb = ci[i]
+        ok_nb = cv[i] >= 15
+        kfs = state.kfs
+        res = triangulate_pair(
+            kfs.R[kf_id], kfs.t[kf_id], feats.xy, feats.level, feats.desc,
+            free_kp & ok_nb,
+            kfs.R[nb], kfs.t[nb], kfs.kp_xy[nb], kfs.kp_level[nb],
+            kfs.kp_desc[nb], kfs.kp_valid[nb] & ok_nb,
+            cam_params, model_id=model_id)
+        slots, ok = _alloc_landmark_slots(state.lms.valid, res.good)
+        state = ms.add_landmarks(state, slots, res.pos, res.desc,
+                                 kf_id, res.kp_a, nb, res.kp_b, ok,
+                                 res.normal, res.min_dist, res.max_dist)
+        bindings = bindings.at[jnp.where(ok, res.kp_a, n_feat)].set(
+            jnp.where(ok, slots, -1), mode="drop")
+        free_kp = feats.valid & (bindings < 0)
+        hwm = jnp.maximum(hwm, jnp.max(jnp.where(ok, slots + 1, 0)))
+
+    state = fuse_duplicates(state, kf_id, cam_params, img_w, img_h)
+    state = windowed_local_ba(state, kf_id, cam_params, model_id=model_id,
+                              use_stereo=use_stereo, bf=bf, n_free=n_free,
+                              n_window=n_window, n_lm_window=n_lm_window)
+    state = cull_landmarks(state, kf_id)
+    valid_pre = state.kfs.valid
+    if do_kf_cull:
+        state = cull_keyframes(state, kf_id)
+    culled = valid_pre & ~state.kfs.valid
+
+    # Fusion/BA/culling may have killed landmarks bound to this frame.
+    lmv = state.lms.valid
+    bindings = jnp.where(
+        (bindings >= 0) & lmv[jnp.maximum(bindings, 0)], bindings, -1)
+
+    info = jnp.concatenate([
+        ci[0][None].astype(jnp.float32), cv[0][None].astype(jnp.float32),
+        hwm[None].astype(jnp.float32),
+        state.kfs.R[kf_id].reshape(-1), state.kfs.t[kf_id]])
+    return state, bindings, info, culled
 
 
 @jax.jit

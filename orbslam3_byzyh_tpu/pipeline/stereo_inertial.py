@@ -68,8 +68,7 @@ class StereoInertialSlam(MonoInertialSlam, StereoSlam):
 
         self._last_stamp = stamp
         if pose is not None:
-            self.trajectory.append((stamp, np.asarray(pose[0]),
-                                    np.asarray(pose[1])))
+            self._log_frame(stamp, pose)
         return pose
 
 
@@ -117,6 +116,5 @@ class FisheyeStereoInertialSlam(MonoInertialSlam, FisheyeStereoSlam):
 
         self._last_stamp = stamp
         if pose is not None:
-            self.trajectory.append((stamp, np.asarray(pose[0]),
-                                    np.asarray(pose[1])))
+            self._log_frame(stamp, pose)
         return pose

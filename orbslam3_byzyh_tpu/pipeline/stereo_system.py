@@ -102,8 +102,7 @@ class StereoSlam(base.MonoSlam):
         else:
             pose = self._track_frame(feats, stamp)
         if pose is not None:
-            self.trajectory.append((stamp, np.asarray(pose[0]),
-                                    np.asarray(pose[1])))
+            self._log_frame(stamp, pose)
         return pose
 
     # ------------------------------------------------------------------
@@ -138,6 +137,7 @@ class StereoSlam(base.MonoSlam):
         self.frames_since_kf = 0
         if self.loop_closer is not None:
             self.loop_closer.add_keyframe(self.state, 0)
+        self._refresh_ref_cache()
         return (jnp.eye(3), jnp.zeros(3))
 
     # ------------------------------------------------------------------

@@ -25,7 +25,7 @@ from ..ops import camera as cam
 from ..ops import fast_orb, geometry, lie
 from ..solver import pose_opt
 from ..utils import verbose
-from . import mapping, tracking
+from . import mapping, tracking, trajectory_log
 from .loop_closing import LoopCloser
 
 NOT_INITIALIZED = 0
@@ -112,11 +112,21 @@ class MonoSlam:
         self._vel = None            # (R_v, t_v): T_cur = vel * T_last
         self.frames_since_kf = 0
         self.last_kf_id = -1
-        # Trajectory log: (stamp, Rcw, tcw) per tracked frame. Stamps are
-        # RELATIVE to the first frame (self.t0): absolute dataset stamps
-        # (EuRoC ~1.4e9 s) would lose ~100 s of precision in the float32
-        # keyframe-stamp arrays. Writers add self.t0 back.
-        self.trajectory = []
+        # Frame-trajectory log: per-frame poses are stored RELATIVE to their
+        # reference keyframe and replayed against current KF poses on read,
+        # so loop/GBA/rebase corrections apply retroactively
+        # (Tracking.cc:3396-3419 + System::SaveTrajectoryEuRoC replay).
+        # Stamps are RELATIVE to the first frame (self.t0): absolute dataset
+        # stamps (EuRoC ~1.4e9 s) would lose ~100 s of precision in the
+        # float32 keyframe-stamp arrays. Writers add self.t0 back.
+        self._traj = trajectory_log.TrajectoryLog()
+        # (ref_kf_id, R_rw, t_rw) host cache of the reference KF's pose,
+        # refreshed whenever the map moves it (KF creation, loop closure,
+        # rebase, compaction) — avoids a device read per tracked frame.
+        self._ref_cache = None
+        # Deferred outputs of the last keyframe_bundle dispatch (drained at
+        # the next KF / before any state-sensitive host operation).
+        self._pending_kf = None
         self._t0 = None
         self.rng_key = jax.random.PRNGKey(0)
         # Per-stage timers (REGISTER_TIMES parity, SURVEY §5): None = off.
@@ -172,6 +182,15 @@ class MonoSlam:
     def n_lm(self, v: int):
         self.atlas.counts().n_lm = v
 
+    @property
+    def kf_parent(self) -> np.ndarray:
+        """Spanning-tree parent per KF slot (-1 = root) — the essential
+        graph's tree edges, stored per map (KeyFrame::GetParent)."""
+        meta = self.atlas.counts()
+        if meta.kf_parent is None:
+            meta.kf_parent = np.full(self.cfg.max_kf, -1, np.int32)
+        return meta.kf_parent
+
     # ------------------------------------------------------------------
     def _extract(self, img: np.ndarray, cam_params=None, kb8=None,
                  dist=None) -> fast_orb.FrameFeatures:
@@ -221,9 +240,36 @@ class MonoSlam:
             pose = self._track_frame(feats, stamp)
 
         if pose is not None:
-            self.trajectory.append((stamp, np.asarray(pose[0]),
-                                    np.asarray(pose[1])))
+            self._log_frame(stamp, pose)
         return pose
+
+    # ------------------------------------------------------------------
+    @property
+    def trajectory(self):
+        """Per-frame (stamp, R_cw, t_cw) list, replayed against the CURRENT
+        keyframe poses so map corrections apply retroactively (the
+        reference's save-time relative-pose replay)."""
+        self._drain_pending()
+        return self._traj.replay(np.asarray(self.state.kfs.R),
+                                 np.asarray(self.state.kfs.t))
+
+    def _log_frame(self, stamp: float, pose):
+        """Record one tracked frame relative to its reference keyframe."""
+        R_cw, t_cw = np.asarray(pose[0]), np.asarray(pose[1])
+        if self._ref_cache is None:
+            self._traj.log(stamp, R_cw, t_cw, -1)
+        else:
+            ref, R_rw, t_rw = self._ref_cache
+            self._traj.log(stamp, R_cw, t_cw, ref, R_rw, t_rw)
+
+    def _refresh_ref_cache(self):
+        """Re-read the reference KF's pose after anything that moved it."""
+        k = self.last_kf_id
+        if k < 0:
+            self._ref_cache = None
+        else:
+            self._ref_cache = (k, np.asarray(self.state.kfs.R[k]),
+                               np.asarray(self.state.kfs.t[k]))
 
     # ------------------------------------------------------------------
     # Initialization (MonocularInitialization :3578 + CreateInitialMap :3680)
@@ -317,9 +363,12 @@ class MonoSlam:
         self.status = OK
         self.last_kf_id = 1
         self.frames_since_kf = 0
-        # Log KF0's pose retroactively.
-        self.trajectory.append((self._init_stamp, np.eye(3, dtype=np.float32),
-                                np.zeros(3, np.float32)))
+        self.kf_parent[1] = 0
+        # Log KF0's pose retroactively (relative to KF0 itself: identity).
+        self._traj.log(self._init_stamp, np.eye(3, dtype=np.float32),
+                       np.zeros(3, np.float32), 0,
+                       np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        self._refresh_ref_cache()
         return (R_cur, t_cur)
 
     # ------------------------------------------------------------------
@@ -351,31 +400,53 @@ class MonoSlam:
         else:
             R_pred, t_pred = last["R"], last["t"]
 
+        # One fused device step (motion model + widened retry + local-map
+        # track + counters + ref-KF count); ONE 14-float host read per frame
+        # instead of the previous 4-5 blocking transfers.
         lms = self.state.lms
-        with self._stage("pose_pred"):
-            res = tracking.track_motion_model(
-                R_pred, t_pred, lms.pos, lms.valid,
-                last["bindings"], last["feats"].desc,
-                feats.xy, feats.level, feats.desc, feats.valid,
-                self.cam_params,
-                last_angle=last["feats"].angle, feats_angle=feats.angle)
-            if int(res.n_inliers) < 10:
-                # Widen search (th=15 -> 30), restart from last pose.
-                res = tracking.track_motion_model(
-                    last["R"], last["t"], lms.pos, lms.valid,
-                    last["bindings"], last["feats"].desc,
-                    feats.xy, feats.level, feats.desc, feats.valid,
-                    self.cam_params, radius=30.0,
-                    last_angle=last["feats"].angle, feats_angle=feats.angle)
-            if int(res.n_inliers) < 10 and self.last_kf_id >= 0:
-                # TrackReferenceKeyFrame fallback (Tracking.cc:3931): match
-                # the current frame against the reference KF by descriptor
-                # (BoW semantics, ratio 0.7) instead of projection.
-                res = self._track_reference_keyframe(last, feats)
-
+        ba_kw = self._ba_kwargs()
+        use_stereo = bool(ba_kw.get("use_stereo")) and self._ur is not None
         with self._stage("lm_track"):
-            res = self._track_local_map(res, feats)
-            n_inliers = int(res.n_inliers)   # device sync closes the stage
+            res, info, n_found, n_visible = tracking.frame_step(
+                R_pred, t_pred, last["R"], last["t"],
+                lms.pos, lms.desc, lms.normal, lms.min_dist, lms.max_dist,
+                lms.valid,
+                last["bindings"], last["feats"].desc, last["feats"].angle,
+                feats.xy, feats.level, feats.desc, feats.valid, feats.angle,
+                (self._ur if use_stereo
+                 else jnp.full((self.cfg.n_features,), -1.0, jnp.float32)),
+                jnp.asarray(ba_kw.get("bf", 0.0), jnp.float32),
+                self.state.obs.kf, self.state.obs.valid,
+                jnp.asarray(self.last_kf_id, jnp.int32),
+                lms.n_found, lms.n_visible,
+                self.cam_params, self.cfg.width, self.cfg.height,
+                use_stereo=use_stereo)
+            info_np = np.asarray(info)       # the one per-frame device sync
+        n_inliers = int(info_np[0])
+        ref_matches = max(int(info_np[1]), 1)
+        R_np = info_np[2:11].reshape(3, 3)
+        t_np = info_np[11:14]
+
+        if n_inliers < 15 and self.last_kf_id >= 0:
+            # TrackReferenceKeyFrame fallback (Tracking.cc:3931): match the
+            # current frame against the reference KF by descriptor (BoW
+            # semantics, ratio 0.7) instead of projection. Rare path.
+            fb = self._track_reference_keyframe(last, feats)
+            fb = self._track_local_map(fb, feats)
+            n_fb = int(fb.n_inliers)
+            if n_fb >= 15:
+                res = fb
+                n_inliers = n_fb
+                R_np = np.asarray(fb.R)
+                t_np = np.asarray(fb.t)
+                # frame_step skipped the counter update (its n_inliers<15).
+                bound = res.bindings
+                add = jnp.zeros((self.cfg.max_lm,), jnp.int32).at[
+                    jnp.where(bound >= 0, bound, self.cfg.max_lm)].add(
+                        1, mode="drop")
+                n_found = lms.n_found + add
+                n_visible = lms.n_visible + add
+
         if n_inliers < 15:
             # RECENTLY_LOST (Tracking.cc:2925-2947): dead-reckon for a grace
             # period while attempting relocalization; then give the map up.
@@ -391,14 +462,9 @@ class MonoSlam:
         self.status = OK
         self.lost_frames = 0
 
-        # Found/visible counters for culling.
-        bound = np.asarray(res.bindings)
-        seen = bound[bound >= 0]
-        lms_found = jnp.zeros((self.cfg.max_lm,), jnp.int32).at[
-            jnp.asarray(seen)].add(1)
+        # Found/visible counters for culling (computed in frame_step).
         self.state = self.state._replace(lms=self.state.lms._replace(
-            n_found=self.state.lms.n_found + lms_found,
-            n_visible=self.state.lms.n_visible + lms_found))
+            n_found=n_found, n_visible=n_visible))
 
         # Chessboard world-frame rebase, once, after successful init
         # (fork behaviour, Tracking.cc:3324-3341).
@@ -406,21 +472,25 @@ class MonoSlam:
                 and self.n_kf >= 2):
             self._apply_chessboard_rebase()
 
-        # Motion model update.
-        R_lw, t_lw = last["R"], last["t"]
-        Ri, ti = lie.se3_inv(R_lw, t_lw)
-        self._vel = lie.se3_mul(res.R, res.t, Ri, ti)
-        self._last = dict(feats=feats, bindings=res.bindings, R=res.R,
-                          t=res.t, stamp=stamp)
+        # Motion model update (host floats — no device reads).
+        R_lw = np.asarray(last["R"])
+        t_lw = np.asarray(last["t"])
+        Rv_new = R_np @ R_lw.T
+        tv_new = t_np - Rv_new @ t_lw
+        self._vel = (Rv_new, tv_new)
+        self._last = dict(feats=feats, bindings=res.bindings, R=R_np,
+                          t=t_np, stamp=stamp)
         self.frames_since_kf += 1
 
         with self._stage("new_kf_decision"):
             need_kf = (not self.localization_only
-                       and self._need_new_keyframe(n_inliers))
+                       and self._need_new_keyframe(n_inliers, ref_matches))
         if need_kf:
             with self._stage("total_mapping"):
-                self._create_keyframe(feats, res, stamp)
-        return (res.R, res.t)
+                self._create_keyframe(
+                    feats, res._replace(R=jnp.asarray(R_np),
+                                        t=jnp.asarray(t_np)), stamp)
+        return (R_np, t_np)
 
     # ------------------------------------------------------------------
     def _track_reference_keyframe(self, last, feats):
@@ -458,11 +528,15 @@ class MonoSlam:
         self.localization_only = False
 
     # ------------------------------------------------------------------
-    def _need_new_keyframe(self, n_inliers: int) -> bool:
-        """NeedNewKeyFrame (:4388), monocular subset of the rules."""
+    def _need_new_keyframe(self, n_inliers: int,
+                           ref_matches: int | None = None) -> bool:
+        """NeedNewKeyFrame (:4388), monocular subset of the rules.
+        ``ref_matches`` comes from the fused frame step when available
+        (avoids a separate device read)."""
         if not self._kf_slot_available():
             return False
-        ref_matches = self._ref_kf_matches()
+        if ref_matches is None:
+            ref_matches = self._ref_kf_matches()
         c1a = self.frames_since_kf >= self.max_frames
         c1b = self.frames_since_kf >= self.cfg.min_frames
         c2 = (n_inliers < ref_matches * 0.9) and n_inliers > 15
@@ -477,6 +551,7 @@ class MonoSlam:
     def _kf_slot_available(self) -> bool:
         if self.n_kf < self.cfg.max_kf - 1:
             return True
+        self._drain_pending()
         state, old2new, n_valid = ms.compact_keyframes(self.state, self.n_kf)
         if n_valid >= self.cfg.max_kf - 1:
             verbose.print_mess(
@@ -487,13 +562,62 @@ class MonoSlam:
         verbose.print_mess(
             f"compacted keyframes: {self.n_kf} slots -> {n_valid} live",
             verbose.VERBOSE)
+        # Any frame records still referencing a dead slot are rebased onto
+        # the nearest earlier live KF before ids move (the cull hooks
+        # normally do this eagerly; this is the safety net).
+        old2new = np.asarray(old2new)
+        dead = old2new < 0
+        if any(r >= 0 and dead[r] for r in self._traj.refs):
+            self._traj.rebase(dead, self._nearest_live_parent(~dead),
+                              np.asarray(self.state.kfs.R),
+                              np.asarray(self.state.kfs.t))
+        self._traj.remap(old2new)
+        # Spanning tree follows the renumbering (dead parents resolved
+        # through the dead chain first).
+        par = self.kf_parent
+        resolved = self._resolve_dead_parents(par, ~dead)
+        new_par = np.full_like(par, -1)
+        for old in np.where(~dead)[0]:
+            p = resolved[old]
+            new_par[old2new[old]] = old2new[p] if p >= 0 else -1
+        par[:] = new_par
         self.state = state
         self.n_kf = n_valid
         self.last_kf_id = int(old2new[self.last_kf_id])
         if self.loop_closer is not None:
-            self.loop_closer.db.remap(old2new, n_valid)
+            self.loop_closer.remap_keyframes(old2new, n_valid)
         self._on_keyframes_compacted(old2new)
+        self._refresh_ref_cache()
         return True
+
+    @staticmethod
+    def _resolve_dead_parents(parent: np.ndarray,
+                              live: np.ndarray) -> np.ndarray:
+        """parent array with dead intermediate parents walked through
+        (children of a culled KF reattach to its parent — the reference's
+        spanning-tree reassignment in KeyFrame::SetBadFlag)."""
+        out = parent.copy()
+        for k in range(len(out)):
+            p = out[k]
+            hops = 0
+            while p >= 0 and not live[p] and hops < len(out):
+                p = parent[p]
+                hops += 1
+            out[k] = p if p >= 0 else -1
+        return out
+
+    @staticmethod
+    def _nearest_live_parent(live: np.ndarray) -> np.ndarray:
+        """parent_of[k] = nearest earlier live slot (slot order == insertion
+        order == temporal order), the array-state stand-in for the
+        reference's spanning-tree parent walk at save time."""
+        parent = np.full(len(live), -1, np.int64)
+        last = -1
+        for k in range(len(live)):
+            parent[k] = last
+            if live[k]:
+                last = k
+        return parent
 
     def _on_keyframes_compacted(self, old2new: np.ndarray):
         """Subclass hook: remap any per-KF side arrays (inertial chain)."""
@@ -530,8 +654,136 @@ class MonoSlam:
         return max(n, 1)
 
     # ------------------------------------------------------------------
+    def _use_mapping_bundle(self) -> bool:
+        """Fused async per-KF mapping (keyframe_bundle) for the visual
+        systems; the inertial subclass overrides to keep its staged path
+        (LocalInertialBA + chain-aware culling need host orchestration)."""
+        return True
+
     def _create_keyframe(self, feats, track_res, stamp):
-        """CreateNewKeyFrame (:4589) + the LocalMapping work for this KF."""
+        """CreateNewKeyFrame (:4589) + the LocalMapping work for this KF.
+
+        Bundle path: ONE device dispatch covering insert/triangulate/fuse/
+        windowed-BA/culling; its small outputs are read back LAZILY (at the
+        next keyframe) so tracking keeps running while the device crunches —
+        the array-state analog of the reference's Tracking ∥ LocalMapping
+        threads with a lagging LoopClosing queue (System.cc:223-265).
+        """
+        if not self._use_mapping_bundle():
+            return self._create_keyframe_staged(feats, track_res, stamp)
+        # Settle the PREVIOUS keyframe's deferred work first (its bundle has
+        # had a whole KF interval of device time to finish).
+        self._drain_pending()
+        kf_id = self.n_kf
+        ba_kw = self._ba_kwargs()
+        use_stereo = bool(ba_kw.get("use_stereo")) and self._ur is not None
+        ur = (self._ur if self._ur is not None
+              else jnp.full((self.cfg.n_features,), -1.0, jnp.float32))
+        state, bindings, info, culled = mapping.keyframe_bundle(
+            self.state, kf_id, track_res.R, track_res.t, stamp, feats, ur,
+            track_res.bindings, self.cam_params, self.n_lm,
+            float(self.cfg.width), float(self.cfg.height),
+            use_stereo=use_stereo, bf=float(ba_kw.get("bf", 0.0)),
+            n_neighbors=self.cfg.triangulation_neighbors,
+            n_free=self.cfg.local_window + 1,
+            n_window=self.cfg.ba_window,
+            n_lm_window=self.cfg.ba_lm_window,
+            do_kf_cull=(self.n_kf >= 8))
+        valid_before = np.asarray(self.state.kfs.valid)  # pre-bundle (host)
+        self.state = state
+        self.n_kf = kf_id + 1
+        self.frames_since_kf = 0
+        self.last_kf_id = kf_id
+        self._last["bindings"] = bindings
+        self._last["R"] = state.kfs.R[kf_id]
+        self._last["t"] = state.kfs.t[kf_id]
+        # Reference-KF pose cache: set from the pre-BA tracked pose now
+        # (exact post-BA value lands when the pending info is drained).
+        self._ref_cache = (kf_id, np.asarray(track_res.R),
+                          np.asarray(track_res.t))
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(self.state, kf_id)  # no host sync
+        self._pending_kf = dict(kf_id=kf_id, info=info, culled=culled,
+                                valid_before=valid_before)
+
+    def _drain_pending(self):
+        """Settle the deferred outputs of the last keyframe bundle: parent
+        assignment, culled-KF trajectory rebase, landmark high-water mark,
+        exact reference-pose cache — then run its (lagging) loop-closing
+        detection, like the reference's queued LoopClosing thread."""
+        pend = getattr(self, "_pending_kf", None)
+        if pend is None:
+            return
+        self._pending_kf = None
+        kf_id = pend["kf_id"]
+        info_np = np.asarray(pend["info"])        # one consolidated sync
+        parent, parent_cnt = int(info_np[0]), int(info_np[1])
+        self.kf_parent[kf_id] = (
+            parent if parent_cnt > 0 else
+            (kf_id - 1 if kf_id > 0 else -1))
+        self.n_lm = max(self.n_lm, int(info_np[2]))
+        if self.last_kf_id == kf_id:
+            self._ref_cache = (kf_id, info_np[3:12].reshape(3, 3).copy(),
+                               info_np[12:15].copy())
+        culled = np.asarray(pend["culled"])
+        if culled.any():
+            par = self.kf_parent
+            par[:] = self._resolve_dead_parents(
+                par, np.asarray(self.state.kfs.valid))
+            if any(r >= 0 and culled[r] for r in self._traj.refs):
+                # Dead poses are frozen once dead, so rebasing against the
+                # CURRENT state stays exact even one keyframe later.
+                self._traj.rebase(
+                    culled,
+                    self._nearest_live_parent(
+                        np.asarray(self.state.kfs.valid)),
+                    np.asarray(self.state.kfs.R),
+                    np.asarray(self.state.kfs.t))
+        self._run_loop_closing(kf_id)
+
+    def _run_loop_closing(self, kf_id: int):
+        """Per-KF LoopClosing work (detection + correction + GBA)."""
+        if (self.loop_closer is not None and self.cfg.use_loop_closing
+                and self._loops_allowed()
+                and bool(self.state.kfs.valid[kf_id])):
+            with self._stage("loop_detect"):
+                det = self.loop_closer.detect(self.state, kf_id, self.n_kf)
+            if det is not None:
+                cand, corr = det
+                with self._stage("loop_correct"):
+                    self.state = self.loop_closer.close(
+                        self.state, kf_id, cand, corr, self.n_kf,
+                        span_parent=self.kf_parent)
+                    # Fuse the drifted duplicates with their loop-side
+                    # originals (SearchAndFuse, LoopClosing.cc:2689).
+                    self.state = mapping.fuse_duplicates(
+                        self.state, jnp.asarray(kf_id, jnp.int32),
+                        self.cam_params, float(self.cfg.width),
+                        float(self.cfg.height))
+                with self._stage("global_ba"):
+                    self.state = mapping.global_ba(
+                        self.state, self.cam_params, mesh=self.mesh,
+                        **self._ba_kwargs())
+                    if self.timers is not None:
+                        jax.block_until_ready(self.state.kfs.R)
+                # Refresh the tracking context to the corrected pose (only
+                # if this is still the newest KF).
+                if self.last_kf_id == kf_id:
+                    self._last["R"] = self.state.kfs.R[kf_id]
+                    self._last["t"] = self.state.kfs.t[kf_id]
+                    self._vel = None
+                    self._refresh_ref_cache()
+            elif len(self.atlas.maps) > 1:
+                # Merge branch: common region in ANOTHER map
+                # (LoopClosing::MergeLocal, :1590).
+                mdet = self.loop_closer.detect_merge(self.state, kf_id,
+                                                     self.atlas)
+                if mdet is not None:
+                    self._merge_maps(kf_id, *mdet)
+
+    def _create_keyframe_staged(self, feats, track_res, stamp):
+        """Host-orchestrated per-stage keyframe path (inertial systems:
+        LocalInertialBA + preintegration-merge culling live here)."""
         kf_id = self.n_kf
         with self._stage("kf_insert"):
             self.state = ms.add_keyframe(self.state, kf_id, track_res.R,
@@ -556,6 +808,12 @@ class MonoSlam:
             neighbors = [int(k) for k in
                          order[:self.cfg.triangulation_neighbors]
                          if counts[k] >= 15 and bool(self.state.kfs.valid[k])]
+            # Spanning-tree parent: the most-covisible existing KF
+            # (KeyFrame::UpdateConnections parent selection).
+            best = int(order[0])
+            self.kf_parent[kf_id] = (
+                best if counts[best] > 0 else
+                (self.last_kf_id if 0 <= self.last_kf_id != kf_id else -1))
             free_kp = feats.valid & (bindings < 0)
             for nb in neighbors:
                 self._triangulate_with(kf_id, nb, feats, free_kp)
@@ -586,51 +844,19 @@ class MonoSlam:
         if self.loop_closer is not None:
             self.loop_closer.add_keyframe(self.state, kf_id)
         # Loop closing (LoopClosing::Run per-KF work, :100).
-        if (self.loop_closer is not None and self.cfg.use_loop_closing
-                and self._loops_allowed()):
-            with self._stage("loop_detect"):
-                det = self.loop_closer.detect(self.state, kf_id, self.n_kf)
-            if det is not None:
-                cand, corr = det
-                with self._stage("loop_correct"):
-                    self.state = self.loop_closer.close(
-                        self.state, kf_id, cand, corr, self.n_kf)
-                    # Fuse the drifted duplicates with their loop-side
-                    # originals (SearchAndFuse, LoopClosing.cc:2689).
-                    self.state = mapping.fuse_duplicates(
-                        self.state, jnp.asarray(kf_id, jnp.int32),
-                        self.cam_params, float(self.cfg.width),
-                        float(self.cfg.height))
-                with self._stage("global_ba"):
-                    # Global BA after loop correction
-                    # (RunGlobalBundleAdjustment, LoopClosing.cc:2869);
-                    # landmark-sharded across the mesh when devices > 1.
-                    self.state = mapping.global_ba(
-                        self.state, self.cam_params, mesh=self.mesh,
-                        **self._ba_kwargs())
-                    if self.timers is not None:
-                        jax.block_until_ready(self.state.kfs.R)
-                # Refresh the tracking context to the corrected pose.
-                self._last["R"] = self.state.kfs.R[kf_id]
-                self._last["t"] = self.state.kfs.t[kf_id]
-                self._vel = None
-            elif len(self.atlas.maps) > 1:
-                # Merge branch: common region in ANOTHER map
-                # (LoopClosing::MergeLocal, :1590).
-                mdet = self.loop_closer.detect_merge(self.state, kf_id,
-                                                     self.atlas)
-                if mdet is not None:
-                    self._merge_maps(kf_id, *mdet)
+        self._run_loop_closing(kf_id)
 
         # Rebind current-frame bindings to post-BA state (pose refreshed).
         self._last["R"] = self.state.kfs.R[kf_id]
         self._last["t"] = self.state.kfs.t[kf_id]
+        self._refresh_ref_cache()
 
     # ------------------------------------------------------------------
     # Atlas persistence (System::SaveAtlas/LoadAtlas, System.cc:1484,1535)
     # ------------------------------------------------------------------
     def save_atlas_checkpoint(self, path: str):
         from ..io import checkpoint
+        self._drain_pending()
         checkpoint.save_atlas(path, self.atlas)
 
     def load_atlas_checkpoint(self, path: str):
@@ -639,6 +865,10 @@ class MonoSlam:
         path once their places are revisited (the reference relocalizes
         into the loaded atlas the same way, System.cc:179 + Tracking)."""
         from ..io import checkpoint
+        # Existing frame records reference the outgoing state: freeze them.
+        self._traj.freeze_all(np.asarray(self.state.kfs.R),
+                              np.asarray(self.state.kfs.t))
+        self._ref_cache = None
         self.atlas = checkpoint.load_atlas(path)
         if self.loop_closer is not None:
             self.loop_closer.dbs = {}
@@ -677,6 +907,10 @@ class MonoSlam:
         kf_lo = self.n_kf
         self.atlas.merge(other_idx, R_i, t_i, s_i)
         kf_hi = self.n_kf
+        # Attach the welded map's spanning-tree root to the matched KF so
+        # the essential graph stays one tree across the weld.
+        if kf_lo < kf_hi and self.kf_parent[kf_lo] < 0:
+            self.kf_parent[kf_lo] = kf_id
         self.loop_closer.on_maps_merged(self.atlas.current, other_idx,
                                         self.state, kf_lo, kf_hi)
         # Duplicate fusion in the welding window (SearchAndFuse, :2689):
@@ -691,13 +925,34 @@ class MonoSlam:
         self._last["R"] = self.state.kfs.R[kf_id]
         self._last["t"] = self.state.kfs.t[kf_id]
         self._vel = None
+        self._refresh_ref_cache()
 
     def _maybe_cull_keyframes(self, kf_id: int):
         """KeyFrameCulling hook (inertial systems skip it: culling a chain
         KF would require merging preintegrations, ImuTypes.cc:330)."""
         if self.n_kf >= 8:
+            valid_before = np.asarray(self.state.kfs.valid)
             self.state = mapping.cull_keyframes(
                 self.state, jnp.asarray(kf_id, jnp.int32))
+            self._rebase_culled(valid_before)
+
+    def _rebase_culled(self, valid_before: np.ndarray):
+        """Move frame-trajectory records off freshly-culled KFs onto a
+        surviving earlier KF (the reference walks the spanning tree at save
+        time, Tracking.cc SaveTrajectoryEuRoC isBad loop; array slots get
+        reused, so the walk happens eagerly at cull time)."""
+        valid_after = np.asarray(self.state.kfs.valid)
+        dead = valid_before & ~valid_after
+        if not dead.any():
+            return
+        # Children of culled KFs reattach to their grandparent.
+        par = self.kf_parent
+        par[:] = self._resolve_dead_parents(par, valid_after)
+        if not any(r >= 0 and dead[r] for r in self._traj.refs):
+            return
+        self._traj.rebase(dead, self._nearest_live_parent(valid_after),
+                          np.asarray(self.state.kfs.R),
+                          np.asarray(self.state.kfs.t))
 
     def _local_refine(self, kf_id: int, counts, order):
         """Local BA after a new KF: covisibility-windowed (free = this KF +
@@ -811,6 +1066,12 @@ class MonoSlam:
     def _handle_lost(self, feats, stamp):
         """LOST: small map -> reset; mature map -> keep it, start a new one
         (Tracking.cc:3349-3378 + CreateMapInAtlas)."""
+        self._drain_pending()
+        # The active map's KF slots are about to be reused: replay its
+        # frame records once and store them absolute.
+        self._traj.freeze_all(np.asarray(self.state.kfs.R),
+                              np.asarray(self.state.kfs.t))
+        self._ref_cache = None
         if self.n_kf < 10:
             self.atlas.reset_active_map()
             if self.loop_closer is not None:
@@ -861,11 +1122,13 @@ class MonoSlam:
             self._last["R"] = jnp.asarray(R_l)
             self._last["t"] = jnp.asarray(t_l)
             self._vel = None
+        self._refresh_ref_cache()
         self._chess_applied = True
 
     # ------------------------------------------------------------------
     def keyframe_trajectory(self):
         """(stamps, Rcw, tcw) arrays of live keyframes (absolute stamps)."""
+        self._drain_pending()
         kfs = self.state.kfs
         valid = np.asarray(kfs.valid)
         return (np.asarray(kfs.stamp, np.float64)[valid] + self.t0,

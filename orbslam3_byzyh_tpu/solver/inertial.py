@@ -202,6 +202,7 @@ def pose_inertial_optimization(
         cam_params, R_cb, t_cb,                # camera<-body extrinsics
         walk_info,                             # (6,) bias RW information
         prior_H=None,                          # (15,15) info on PREV state
+        obs_ur=None, bf=None,                  # stereo rows (u_r per obs)
         n_rounds: int = 4, n_iters: int = 10,
         with_prior: bool = False) -> PoseInertialResult:
     """Tracking-time visual-inertial pose optimization
@@ -215,19 +216,33 @@ def pose_inertial_optimization(
     whose linearization point is the previous state passed in); the joint
     30-dim system is solved and the previous frame is Schur-marginalized out.
 
+    ``obs_ur``/``bf``: optional stereo rows — observations with
+    ``obs_ur >= 0`` contribute the EdgeStereoOnlyPose 3-dim residual
+    (u, v, u_r) with the reference's {15.6, 9.8, 7.815, 7.815} stereo chi2
+    anneal (/root/reference/src/Optimizer.cc:1280-1283); mono rows keep the
+    5.991 gate.
+
     Either way ``H_marg`` returns the marginal information on the solved
-    frame, ready to be the next frame's prior. chi2 anneal mirrors
-    :1280-1283.
+    frame, ready to be the next frame's prior.
     """
     from ..ops import camera as cam
 
     Wsqrt = preint_info_sqrt(preint)
     chi2_sched = jnp.asarray([5.991, 5.991, 5.991, 5.991])
+    chi2_stereo_sched = jnp.asarray([15.6, 9.8, 7.815, 7.815])
+    use_stereo = obs_ur is not None
     n_x = 30 if with_prior else 15
     if prior_H is None:
         prior_H = jnp.zeros((15, 15), jnp.float32)
-    # Information square root of the prior (damped for rank safety).
-    L_prior = jnp.linalg.cholesky(prior_H + 1e-6 * jnp.eye(15))
+    # Information square root of the prior. The carried H_marg is a float32
+    # Schur complement that is only approximately PSD, so a plain Cholesky
+    # can NaN and silently poison every following frame. Project to the PSD
+    # cone via eigh (symmetrize, clamp eigenvalues at 0, trace-scaled
+    # damping): L_prior @ L_prior.T == proj(prior_H) by construction.
+    prior_H = 0.5 * (prior_H + prior_H.T)
+    eigval, eigvec = jnp.linalg.eigh(prior_H)
+    damp = 1e-6 * (1.0 + jnp.trace(prior_H) / 15.0)
+    L_prior = eigvec * jnp.sqrt(jnp.maximum(eigval, 0.0) + damp)[None, :]
 
     def split_state(xc, Rb, pb, vb, bgb, bab):
         dpose, dv, dbg, dba = xc[:6], xc[6:9], xc[9:12], xc[12:15]
@@ -255,7 +270,14 @@ def pose_inertial_optimization(
         t_cw = _mv(R_cb, t_bw) + t_cb
         pc = pts_w @ R_cw.T + t_cw
         uv = cam.project(cam.PINHOLE, cam_params, pc)
-        r = (obs_uv - uv) * jnp.sqrt(inv_sigma2)[:, None]
+        w = jnp.sqrt(inv_sigma2)
+        r = (obs_uv - uv) * w[:, None]
+        if use_stereo:
+            # u_r = u - bf / z (EdgeStereoOnlyPose third row).
+            ur_pred = uv[:, 0] - bf / jnp.maximum(pc[:, 2], 1e-6)
+            has_ur = obs_ur >= 0.0
+            r_ur = jnp.where(has_ur, (obs_ur - ur_pred) * w, 0.0)
+            r = jnp.concatenate([r, r_ur[:, None]], -1)
         depth_ok = pc[:, 2] > 0.05
         return r, depth_ok
 
@@ -282,7 +304,11 @@ def pose_inertial_optimization(
     inlier = valid
     x = jnp.zeros(n_x)
     for rd in range(n_rounds):
-        delta2 = chi2_sched[rd]
+        if use_stereo:
+            delta2 = jnp.where(obs_ur >= 0.0, chi2_stereo_sched[rd],
+                               chi2_sched[rd])
+        else:
+            delta2 = chi2_sched[rd]
         inl_w = inlier.astype(jnp.float32)
 
         def res_fn(x_, w=inl_w):

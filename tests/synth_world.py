@@ -33,6 +33,24 @@ class SynthWorld:
         self.sat_off = self.rng.uniform(-2.5, 2.5, (n_points, 4, 2))
         self.sat_int = self.rng.uniform(40, 255, (n_points, 4))
 
+    def feature_points(self) -> np.ndarray:
+        """All rendered 3D feature locations: blob centers plus the four
+        satellite dots per blob at their effective 3D positions.
+
+        Satellites are drawn at pixel offsets ``sat_off * r`` with
+        ``r ≈ size * 8 / z``, so their image offset is ∝ 1/z — i.e. each
+        satellite behaves as a FIXED 3D point at a lateral offset of
+        ``sat_off * size * 8 / f`` meters from its blob center. FAST corners
+        fire on satellites and blob rims, NOT blob centers, so map-quality
+        metrics must score landmarks against this set (centers alone have a
+        ~0.3 m error floor from the offset geometry, masking real drift)."""
+        ctr = self.pts
+        off = self.sat_off * self.sizes[:, None, None] * 8.0  # px at z=1
+        sat = ctr[:, None, :].repeat(4, 1).copy()
+        sat[..., 0] += off[..., 0] / self.fx * ctr[:, None, 2]
+        sat[..., 1] += off[..., 1] / self.fy * ctr[:, None, 2]
+        return np.concatenate([ctr, sat.reshape(-1, 3)], 0)
+
     def trajectory(self, t: float):
         """GT (pos, vel, acc, R_wc) at time t; analytic derivatives.
 
@@ -41,6 +59,28 @@ class SynthWorld:
         so scale/gravity are observable for visual-inertial tests.
         """
         from scipy.spatial.transform import Rotation
+        if getattr(self, "motion", "default") == "loop":
+            # Closed orbit revisiting its start every LOOP_PERIOD seconds
+            # (loop-closure / soak sequences). Lateral ellipse + vertical
+            # bob in front of the point slab; yaw stays small so the field
+            # remains in view all the way around.
+            T = getattr(self, "loop_period", 60.0)
+            w = 2 * np.pi / T
+            th = w * t
+            A, B, C = 3.0, 1.2, 0.4
+            pos = np.array([A * np.sin(th),
+                            C * np.sin(2 * th),
+                            B * (1 - np.cos(th))])
+            vel = np.array([A * w * np.cos(th),
+                            2 * C * w * np.cos(2 * th),
+                            B * w * np.sin(th)])
+            acc = np.array([-A * w * w * np.sin(th),
+                            -4 * C * w * w * np.sin(2 * th),
+                            B * w * w * np.cos(th)])
+            yaw = 0.15 * np.sin(th)
+            pitch = 0.05 * np.sin(2 * th)
+            R_wc = Rotation.from_euler("yx", [yaw, pitch]).as_matrix()
+            return pos, vel, acc, R_wc
         if getattr(self, "motion", "default") == "excited":
             pos = np.array([0.9 * t + 0.3 * np.sin(1.5 * t),
                             0.4 * np.sin(0.8 * t),

@@ -5,6 +5,9 @@ import numpy as np
 
 from orbslam3_byzyh_tpu.models import atlas, map_state as ms
 from orbslam3_byzyh_tpu.ops import fast_orb, lie
+import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline tier (deselected by default, see pyproject)
 
 
 def make_feats(rng, n_feat=64):

@@ -7,6 +7,8 @@ from orbslam3_byzyh_tpu.pipeline.system import MonoSlam, SlamConfig, OK
 from orbslam3_byzyh_tpu.utils import evaluate
 from synth_world import SynthWorld
 
+pytestmark = pytest.mark.slow  # full-pipeline tier (deselected by default, see pyproject)
+
 
 @pytest.fixture(scope="module")
 def slam_run():
@@ -52,8 +54,16 @@ class TestEndToEndMono:
         assert rmse < 0.15, rmse
 
     def test_map_landmarks_near_gt_points(self, slam_run):
-        """Triangulated landmarks should lie close to real scene points
-        after aligning the map to GT."""
+        """Triangulated landmarks should lie close to real rendered scene
+        structure after aligning the map to GT.
+
+        Scored against ``world.feature_points()`` (blob centers + satellite
+        dots at their effective 3D positions): FAST corners fire on
+        satellites and blob rims, so centers alone have a ~0.3 m error
+        floor from the renderer's offset geometry. Against the full feature
+        set the pipeline achieves p50≈0.23 / p90≈0.36 (random points in the
+        same volume score 0.86 / 5.9), so the gates below catch drift with
+        ~20% margin rather than sitting on the floor."""
         slam, world, gt = slam_run
         stamps = np.array([s for s, _, _ in slam.trajectory])
         Rs = np.stack([R for _, R, _ in slam.trajectory])
@@ -68,6 +78,8 @@ class TestEndToEndMono:
         valid = np.asarray(lms.valid)
         pos = np.asarray(lms.pos)[valid]
         pos_aligned = s * pos @ R.T + t
+        feat = world.feature_points()
         d = np.linalg.norm(
-            pos_aligned[:, None, :] - world.pts[None, :, :], axis=-1).min(-1)
-        assert np.median(d) < 0.3, np.median(d)
+            pos_aligned[:, None, :] - feat[None, :, :], axis=-1).min(-1)
+        assert np.median(d) < 0.28, np.median(d)
+        assert np.percentile(d, 90) < 0.45, np.percentile(d, 90)

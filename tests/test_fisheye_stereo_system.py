@@ -16,6 +16,8 @@ from orbslam3_byzyh_tpu.pipeline.stereo_system import (FisheyeStereoConfig,
 from orbslam3_byzyh_tpu.utils import evaluate
 from synth_world import SynthWorld
 
+pytestmark = pytest.mark.slow  # full-pipeline tier (deselected by default, see pyproject)
+
 BASELINE = 0.2
 YAW = np.deg2rad(3.0)
 

@@ -221,3 +221,68 @@ class TestPoseInertialPrior:
             np.linalg.norm(np.asarray(pr_zero.v) - vs[2])
         assert err_with < err_zero, (err_with, err_zero)
         assert err_with < 0.2, err_with
+
+
+class TestPoseInertialStereoRows:
+    """EdgeStereoOnlyPose rows in the tracking-time VI solve
+    (/root/reference/src/Optimizer.cc:1280-1283: stereo chi2 anneal
+    {15.6, 9.8, 7.815, 7.815})."""
+
+    CAM = jnp.asarray(np.array([400.0, 400.0, 320.0, 240.0], np.float32))
+    BF = 400.0 * 0.2     # fx * baseline
+
+    def _stereo_obs(self, rng, R_wb, p, n_pts=48, noise=0.3):
+        pc = np.stack([rng.uniform(-1, 1, n_pts), rng.uniform(-1, 1, n_pts),
+                       rng.uniform(3, 6, n_pts)], -1).astype(np.float32)
+        pw = pc @ R_wb.T + p
+        uv = np.stack([400.0 * pc[:, 0] / pc[:, 2] + 320.0,
+                       400.0 * pc[:, 1] / pc[:, 2] + 240.0], -1)
+        ur = uv[:, 0] - self.BF / pc[:, 2]
+        uv = (uv + rng.normal(0, noise, uv.shape)).astype(np.float32)
+        ur = (ur + rng.normal(0, noise, ur.shape)).astype(np.float32)
+        return jnp.asarray(pw), jnp.asarray(uv), jnp.asarray(ur)
+
+    def test_converges_with_stereo_rows(self):
+        rng = np.random.default_rng(5)
+        Rs, ps, vs, preints = make_kf_chain(n_kf=3, seg_steps=40)
+        pts, uv, ur = self._stereo_obs(rng, Rs[1], ps[1])
+        pre = jax.tree.map(lambda x: x[0], preints)
+        dR = np.asarray(lie.so3_exp(jnp.asarray(
+            rng.normal(0, 0.02, 3).astype(np.float32))))
+        pr = inertial.pose_inertial_optimization(
+            jnp.asarray(dR @ Rs[1]), jnp.asarray(ps[1] + 0.1),
+            jnp.asarray(vs[1] + 0.1), jnp.zeros(3), jnp.zeros(3),
+            jnp.asarray(Rs[0]), jnp.asarray(ps[0]),
+            jnp.asarray(vs[0]), jnp.zeros(3), jnp.zeros(3),
+            pre, pts, uv, jnp.ones(pts.shape[0]), jnp.ones(48, bool),
+            self.CAM, jnp.eye(3), jnp.zeros(3),
+            jnp.full((6,), 1e6, jnp.float32),
+            obs_ur=ur, bf=jnp.asarray(self.BF))
+        assert np.linalg.norm(np.asarray(pr.p) - ps[1]) < 0.03
+        assert int(pr.n_inliers) >= 40, int(pr.n_inliers)
+
+    def test_stereo_rows_pin_depth_scale(self):
+        """Translation perturbed along the viewing axis with few points:
+        the u_r rows (metric depth) recover it better than mono rows."""
+        rng = np.random.default_rng(6)
+        Rs, ps, vs, preints = make_kf_chain(n_kf=3, seg_steps=40)
+        pts, uv, ur = self._stereo_obs(rng, Rs[1], ps[1], noise=0.1)
+        pre = jax.tree.map(lambda x: x[0], preints)
+        valid = jnp.zeros(48, bool).at[:6].set(True)
+        # Perturb along camera z (depth direction).
+        z_dir = Rs[1][:, 2]
+        kw = dict(
+            cam_params=self.CAM, R_cb=jnp.eye(3), t_cb=jnp.zeros(3),
+            walk_info=jnp.full((6,), 1e6, jnp.float32))
+        args = (jnp.asarray(Rs[1]), jnp.asarray(ps[1] + 0.3 * z_dir),
+                jnp.asarray(vs[1]), jnp.zeros(3), jnp.zeros(3),
+                jnp.asarray(Rs[0]), jnp.asarray(ps[0]),
+                jnp.asarray(vs[0]), jnp.zeros(3), jnp.zeros(3),
+                pre, pts, uv, jnp.ones(pts.shape[0]), valid)
+        pr_st = inertial.pose_inertial_optimization(
+            *args, obs_ur=ur, bf=jnp.asarray(self.BF), **kw)
+        pr_mono = inertial.pose_inertial_optimization(*args, **kw)
+        err_st = np.linalg.norm(np.asarray(pr_st.p) - ps[1])
+        err_mono = np.linalg.norm(np.asarray(pr_mono.p) - ps[1])
+        assert err_st <= err_mono + 1e-3, (err_st, err_mono)
+        assert err_st < 0.05, err_st

@@ -16,6 +16,8 @@ from orbslam3_byzyh_tpu.pipeline.system import SlamConfig
 from orbslam3_byzyh_tpu.utils import evaluate
 from synth_world import SynthWorld
 
+pytestmark = pytest.mark.slow  # full-pipeline tier (deselected by default, see pyproject)
+
 
 @pytest.fixture(scope="module")
 def vi_run():

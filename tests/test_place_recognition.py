@@ -18,6 +18,8 @@ from orbslam3_byzyh_tpu.ops import bow, fast_orb
 from orbslam3_byzyh_tpu.pipeline.keyframe_db import KeyframeDatabase
 from synth_world import SynthWorld
 
+pytestmark = pytest.mark.slow  # full-pipeline tier (deselected by default, see pyproject)
+
 VOC_PATH = os.path.join(os.path.dirname(__file__), "..", "vocabulary",
                         "synthetic_voc_10k.npz")
 

@@ -14,6 +14,8 @@ from orbslam3_byzyh_tpu.pipeline import system as base
 from orbslam3_byzyh_tpu.pipeline.system import MonoSlam, SlamConfig
 from synth_world import SynthWorld
 
+pytestmark = pytest.mark.slow  # full-pipeline tier (deselected by default, see pyproject)
+
 
 @pytest.fixture(scope="module")
 def trained_slam():

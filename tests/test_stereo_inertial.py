@@ -12,6 +12,8 @@ from orbslam3_byzyh_tpu.pipeline.stereo_system import StereoConfig
 from orbslam3_byzyh_tpu.utils import evaluate
 from synth_world import SynthWorld
 
+pytestmark = pytest.mark.slow  # full-pipeline tier (deselected by default, see pyproject)
+
 BASELINE = 0.2
 
 

@@ -10,6 +10,8 @@ from orbslam3_byzyh_tpu.pipeline.stereo_system import StereoConfig, StereoSlam
 from orbslam3_byzyh_tpu.utils import evaluate
 from synth_world import SynthWorld
 
+pytestmark = pytest.mark.slow  # full-pipeline tier (deselected by default, see pyproject)
+
 BASELINE = 0.2
 
 

@@ -6,6 +6,9 @@ import numpy as np
 from orbslam3_byzyh_tpu.pipeline import system as base
 from orbslam3_byzyh_tpu.pipeline.system import MonoSlam, SlamConfig
 from synth_world import SynthWorld
+import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline tier (deselected by default, see pyproject)
 
 
 def make_slam(world):

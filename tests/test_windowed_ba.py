@@ -15,6 +15,8 @@ from orbslam3_byzyh_tpu.models import map_state as ms
 from orbslam3_byzyh_tpu.ops import lie
 from orbslam3_byzyh_tpu.pipeline import mapping
 
+pytestmark = pytest.mark.slow  # full-pipeline tier (deselected by default, see pyproject)
+
 K_PARAMS = np.array([400.0, 400.0, 320.0, 240.0], np.float32)
 W, H = 640, 480
 
