@@ -73,9 +73,12 @@ def bench_kernel():
 def _mono_session(frames, stamps, timers=False):
     from orbslam3_byzyh_tpu.pipeline.system import MonoSlam, SlamConfig
 
+    # 1536 features: at ~1024 the synthetic blob world's adjacent-frame
+    # matches sit under the init gate and monocular init never accumulates
+    # (same constraint as the CLI-drive recipe; real imagery inits at 1000).
     cfg = SlamConfig(fx=400.0, fy=400.0, cx=320.0, cy=240.0,
                      width=640, height=480,
-                     n_features=1024, max_kf=64, max_lm=4096, max_obs=8,
+                     n_features=1536, max_kf=64, max_lm=4096, max_obs=8,
                      fps=10, min_init_matches=60)
     slam = MonoSlam(cfg)
     if timers:

@@ -87,29 +87,31 @@ def dist_bundle_adjust(p: ba.BAProblem, mesh: Mesh, axis: str = "lm",
 
         for si, n_iters in enumerate(stages):
             robust = si < len(stages) - 1
-            sys0 = build(R, t, points, inlier, robust)
-            cost = sys0["cost"]
-            lam_ = jnp.asarray(1e-4, jnp.float32)
             state = (R, t, points)
+            sys_cur = build(R, t, points, inlier, robust)
+            cost = sys_cur["cost"]
+            lam_ = jnp.asarray(1e-4, jnp.float32)
             for _ in range(n_iters):
-                sys_ = build(state[0], state[1], state[2], inlier, robust)
-                pieces = ba.schur_pieces(ps.obs_kf, sys_, lam_, n_kf)
+                # One build per iteration (candidate system reused on
+                # acceptance — same LM bookkeeping as solver/ba.py).
+                pieces = ba.schur_pieces(ps.obs_kf, sys_cur, lam_, n_kf)
                 Hpp = jax.lax.psum(pieces["Hpp"], axis)
                 bp = jax.lax.psum(pieces["bp"], axis)
                 cross = jax.lax.psum(pieces["cross"], axis)
                 corr = jax.lax.psum(pieces["corr"], axis)
                 dp = ba.schur_solve(Hpp, bp, cross, corr, lam_, ps.fixed, n_kf)
-                dl = ba.back_substitute(ps.obs_kf, sys_, pieces["Hll_inv"],
+                dl = ba.back_substitute(ps.obs_kf, sys_cur, pieces["Hll_inv"],
                                         pieces["has_obs"], dp)
                 cand = ba._retract(state[0], state[1], state[2], dp, dl,
                                    ps.fixed)
-                cost_new = build(cand[0], cand[1], cand[2], inlier,
-                                 robust)["cost"]
-                accept = cost_new < cost
+                sys_cand = build(cand[0], cand[1], cand[2], inlier, robust)
+                accept = sys_cand["cost"] < cost
                 state = jax.tree.map(
                     lambda a, b: jnp.where(accept, b, a), state, cand)
+                sys_cur = jax.tree.map(
+                    lambda a, b: jnp.where(accept, b, a), sys_cur, sys_cand)
                 lam_ = jnp.where(accept, lam_ * 0.5, lam_ * 10.0)
-                cost = jnp.where(accept, cost_new, cost)
+                cost = jnp.where(accept, sys_cand["cost"], cost)
             R, t, points = state
 
             r, _, _, depth_ok = ba._residuals(ps, R, t, points, model_id)

@@ -23,8 +23,10 @@ extrinsics Tbc, like the reference's ``ImuCamPose`` (G2oTypes.h:133).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -134,6 +136,68 @@ def cam_from_body(R_wb, p_w, R_cb, t_cb):
     R_cw = R_cb @ R_wb.T
     t_cw = t_cb - R_cw @ p_w
     return R_cw, t_cw
+
+
+@functools.partial(jax.jit, static_argnames=("l_slots", "use_stereo"))
+def _gather_viba_visual(state, ids, loc, free_kf_mask,
+                        kf_vel, kf_bg, kf_ba, R_bc, t_bc,
+                        l_slots: int, use_stereo: bool):
+    """Device-side gather of a VIBA window's heavy arrays (states, window
+    landmarks, observations). The host builds only the SMALL parts (ids,
+    loc map, chain edges, preints); the previous np.asarray gathers pulled
+    multi-MB keypoint slabs over the device link per keyframe."""
+    kfs, lms, obs = state.kfs, state.lms, state.obs
+    ids_safe = jnp.maximum(ids, 0)
+    R = kfs.R[ids_safe]
+    t = kfs.t[ids_safe]
+    R_bw = jnp.einsum("ij,kjl->kil", R_bc, R)
+    t_bw = jnp.einsum("ij,kj->ki", R_bc, t) + t_bc
+    R_wb = jnp.swapaxes(R_bw, -1, -2)
+    p_w = -jnp.einsum("kij,kj->ki", R_wb, t_bw)
+
+    obs_live = obs.valid & (obs.kf >= 0)
+    kf_safe = jnp.maximum(obs.kf, 0)
+    in_free = obs_live & free_kf_mask[kf_safe]
+    lm_in = in_free.any(-1) & lms.valid
+    score, lsel = jax.lax.top_k(lm_in.astype(jnp.float32), l_slots)
+    lm_valid = score > 0.5
+    okf = obs.kf[lsel]
+    okp = jnp.maximum(obs.kp[lsel], 0)
+    oval = obs.valid[lsel] & (okf >= 0) & lm_valid[:, None]
+    okf_local = jnp.where(oval, loc[jnp.maximum(okf, 0)], -1)
+    o_valid = oval & (okf_local >= 0)
+    gkf = jnp.maximum(okf, 0)
+    obs_uv = kfs.kp_xy[gkf, okp]
+    obs_w = tracking.INV_SIGMA2[kfs.kp_level[gkf, okp]]
+    obs_ur = (jnp.where(o_valid, kfs.kp_ur[gkf, okp], -1.0)
+              if use_stereo else None)
+    return (R_wb, p_w, kf_vel[ids_safe], kf_bg[ids_safe], kf_ba[ids_safe],
+            lms.pos[lsel], jnp.where(o_valid, okf_local, -1), obs_uv,
+            obs_w, o_valid, lm_valid, lsel, obs_ur)
+
+
+@jax.jit
+def _scatter_viba(state, res, ids, free_rows, lsel, lm_valid, o_valid,
+                  R_cb, t_cb):
+    """Device-side write-back of a VIBA result (free poses, window
+    landmarks, inlier gating) — replaces full-array np copies."""
+    R_bw = jnp.swapaxes(res.R_wb, -1, -2)
+    R_cw = jnp.einsum("ij,kjl->kil", R_cb, R_bw)
+    t_cw = t_cb - jnp.einsum("kij,kj->ki", R_cw, res.p_w)
+    max_kf = state.kfs.valid.shape[0]
+    tgt = jnp.where(free_rows, jnp.maximum(ids, 0), max_kf)
+    kfs = state.kfs._replace(
+        R=state.kfs.R.at[tgt].set(R_cw, mode="drop"),
+        t=state.kfs.t.at[tgt].set(t_cw, mode="drop"))
+    max_lm = state.lms.pos.shape[0]
+    lm_tgt = jnp.where(lm_valid, lsel, max_lm)
+    lms = state.lms._replace(
+        pos=state.lms.pos.at[lm_tgt].set(res.points, mode="drop"))
+    keep = res.obs_inlier | ~o_valid
+    obs = state.obs._replace(
+        valid=state.obs.valid.at[lm_tgt].set(
+            state.obs.valid[lsel] & keep, mode="drop"))
+    return state._replace(kfs=kfs, lms=lms, obs=obs)
 
 
 class MonoInertialSlam(MonoSlam):
@@ -257,10 +321,10 @@ class MonoInertialSlam(MonoSlam):
             return dt >= 0.25 and self._kf_slot_available()
         return super()._need_new_keyframe(n_inliers, ref_matches)
 
-    def _use_mapping_bundle(self) -> bool:
-        """Inertial systems keep the staged path: LocalInertialBA and the
-        preintegration-merge keyframe culling need host orchestration."""
-        return False
+    # Inertial systems run the fused insert/triangulate/fuse bundle but do
+    # LocalInertialBA + chain-aware culling on the host right after (the
+    # VIBA schedule needs the temporal chain + preintegrations).
+    _bundle_local_ba = False
 
     def _create_keyframe(self, feats, track_res, stamp):
         prev = self.last_kf_id
@@ -570,27 +634,21 @@ class MonoInertialSlam(MonoSlam):
     def _build_viba(self, ids, free_ids, n_slots, l_slots, prior_bias,
                     walk_dt):
         """Pack a window of keyframes + their landmarks into a fixed-shape
-        VIBAProblem (host-side gather; the solve is one jitted kernel)."""
-        state = self.state
-        kfs, lms, obs = state.kfs, state.lms, state.obs
-        R_np, t_np = np.asarray(kfs.R), np.asarray(kfs.t)
+        VIBAProblem. Only the SMALL pieces (id lists, chain edges, preints)
+        are built on the host; states/landmarks/observations gather in one
+        jitted call (_gather_viba_visual)."""
         K = n_slots
-        R_wb = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
-        p_w = np.zeros((K, 3), np.float32)
-        v_w = np.zeros((K, 3), np.float32)
-        bg = np.zeros((K, 3), np.float32)
-        ba = np.zeros((K, 3), np.float32)
-        fixed = np.ones(K, bool)
-        loc = np.full(self.cfg.max_kf, -1, np.int32)
         free_set = set(int(f) for f in free_ids)
+        loc = np.full(self.cfg.max_kf, -1, np.int32)
+        ids_arr = np.zeros(K, np.int32)
+        fixed = np.ones(K, bool)
+        free_kf_mask = np.zeros(self.cfg.max_kf, bool)
         for i, k in enumerate(ids):
             loc[k] = i
-            R_wb[i], p_w[i] = body_from_cam(R_np[k], t_np[k],
-                                            self.R_bc, self.t_bc)
-            v_w[i] = self.kf_vel[k]
-            bg[i] = self.kf_bg[k]
-            ba[i] = self.kf_ba[k]
+            ids_arr[i] = k
             fixed[i] = k not in free_set
+            if k in free_set:
+                free_kf_mask[k] = True
         # Inertial edges between chain-consecutive in-window KFs.
         E = K - 1
         ei = np.zeros(E, np.int32)
@@ -611,48 +669,21 @@ class MonoInertialSlam(MonoSlam):
             pre_list.append(dummy)
         preints = inertial._stack_preints(pre_list)
 
-        # Landmarks observed by any free KF.
-        obs_kf_np = np.asarray(obs.kf)
-        obs_valid_np = np.asarray(obs.valid) & (obs_kf_np >= 0)
-        obs_loc = np.where(obs_valid_np, loc[np.maximum(obs_kf_np, 0)], -1)
-        in_free = np.zeros_like(obs_valid_np)
-        for f in free_ids:
-            in_free |= obs_valid_np & (obs_kf_np == int(f))
-        lm_sel = (in_free.any(-1) & np.asarray(lms.valid))
-        sel_idx = np.where(lm_sel)[0][:l_slots]
-        L = l_slots
-        lsel = np.zeros(L, np.int32)
-        lsel[:len(sel_idx)] = sel_idx
-        lm_valid = np.zeros(L, bool)
-        lm_valid[:len(sel_idx)] = True
-
-        okf = obs_loc[lsel]                      # (L, O) local kf ids
-        okp = np.asarray(obs.kp)[lsel]
-        o_valid = obs_valid_np[lsel] & (okf >= 0) & lm_valid[:, None]
-        kp_xy = np.asarray(kfs.kp_xy)
-        kp_level = np.asarray(kfs.kp_level)
-        gkf = np.maximum(np.asarray(obs.kf)[lsel], 0)
-        okp_s = np.maximum(okp, 0)
-        obs_uv = kp_xy[gkf, okp_s]
-        obs_w = np.asarray(tracking.INV_SIGMA2)[kp_level[gkf, okp_s]]
-        # Stereo rows (EdgeStereo in LocalInertialBA) when the rig has them.
         ba_kw = self._ba_kwargs()
-        obs_ur = None
-        bf = None
-        if ba_kw.get("use_stereo"):
-            obs_ur = jnp.asarray(
-                np.where(o_valid, np.asarray(kfs.kp_ur)[gkf, okp_s], -1.0))
-            bf = jnp.asarray(ba_kw["bf"], jnp.float32)
+        use_stereo = bool(ba_kw.get("use_stereo"))
+        (R_wb, p_w, v_w, bg, ba, points, obs_kf, obs_uv, obs_w, o_valid,
+         lm_valid, lsel, obs_ur) = _gather_viba_visual(
+            self.state, jnp.asarray(ids_arr), jnp.asarray(loc),
+            jnp.asarray(free_kf_mask),
+            jnp.asarray(self.kf_vel), jnp.asarray(self.kf_bg),
+            jnp.asarray(self.kf_ba),
+            jnp.asarray(self.R_bc), jnp.asarray(self.t_bc),
+            l_slots=l_slots, use_stereo=use_stereo)
 
         prob = inertial_ba.VIBAProblem(
-            R_wb=jnp.asarray(R_wb), p_w=jnp.asarray(p_w),
-            v_w=jnp.asarray(v_w), bg=jnp.asarray(bg), ba=jnp.asarray(ba),
-            points=jnp.asarray(np.asarray(lms.pos)[lsel]),
-            obs_kf=jnp.asarray(np.where(o_valid, okf, -1)),
-            obs_uv=jnp.asarray(obs_uv),
-            obs_w=jnp.asarray(obs_w),
-            obs_valid=jnp.asarray(o_valid),
-            lm_valid=jnp.asarray(lm_valid),
+            R_wb=R_wb, p_w=p_w, v_w=v_w, bg=bg, ba=ba,
+            points=points, obs_kf=obs_kf, obs_uv=obs_uv, obs_w=obs_w,
+            obs_valid=o_valid, lm_valid=lm_valid,
             edges_i=jnp.asarray(ei), edges_j=jnp.asarray(ej),
             preints=preints, edge_valid=jnp.asarray(ev),
             walk_info=self._walk_info(walk_dt),
@@ -660,33 +691,29 @@ class MonoInertialSlam(MonoSlam):
             cam_params=self.cam_params,
             fixed=jnp.asarray(fixed),
             prior_bias_w=jnp.asarray(prior_bias, jnp.float32),
-            obs_ur=obs_ur, bf=bf)
-        return prob, loc, lsel, lm_valid, o_valid
+            obs_ur=obs_ur,
+            bf=(jnp.asarray(ba_kw["bf"], jnp.float32)
+                if use_stereo else None))
+        return prob, (ids_arr, fixed), lsel, lm_valid, o_valid
 
-    def _apply_viba(self, res, ids, free_ids, loc, lsel, lm_valid, o_valid):
-        kfs, lms, obs = self.state.kfs, self.state.lms, self.state.obs
-        R_wb = np.asarray(res.R_wb)
-        p_w = np.asarray(res.p_w)
-        R_new = np.array(kfs.R)
-        t_new = np.array(kfs.t)
-        for k in free_ids:
-            i = int(loc[k])
-            Rc, tc = cam_from_body(R_wb[i], p_w[i], self.R_cb, self.t_cb)
-            R_new[k], t_new[k] = Rc, tc
-            self.kf_vel[k] = np.asarray(res.v_w)[i]
-            self.kf_bg[k] = np.asarray(res.bg)[i]
-            self.kf_ba[k] = np.asarray(res.ba)[i]
-        pos_new = np.array(lms.pos)
-        upd = lm_valid
-        pos_new[lsel[upd]] = np.asarray(res.points)[upd]
-        # Outlier observations found by the BA are dropped.
-        ov = np.array(obs.valid)
-        keep = np.asarray(res.obs_inlier) | ~o_valid
-        ov[lsel[upd]] &= keep[upd]
-        self.state = self.state._replace(
-            kfs=kfs._replace(R=jnp.asarray(R_new), t=jnp.asarray(t_new)),
-            lms=lms._replace(pos=jnp.asarray(pos_new)),
-            obs=obs._replace(valid=jnp.asarray(ov)))
+    def _apply_viba(self, res, ids, free_ids, loc_info, lsel, lm_valid,
+                    o_valid):
+        """Write a VIBA result back: poses/landmarks/obs via one jitted
+        scatter; the small per-KF inertial side arrays via one host read."""
+        ids_arr, fixed = loc_info
+        self.state = _scatter_viba(
+            self.state, res, jnp.asarray(ids_arr), jnp.asarray(~fixed),
+            lsel, lm_valid, o_valid,
+            jnp.asarray(self.R_cb), jnp.asarray(self.t_cb))
+        # Velocities/biases: small (K, 3) reads.
+        v_w = np.asarray(res.v_w)
+        bg = np.asarray(res.bg)
+        ba = np.asarray(res.ba)
+        for i, k in enumerate(ids_arr):
+            if not fixed[i]:
+                self.kf_vel[k] = v_w[i]
+                self.kf_bg[k] = bg[i]
+                self.kf_ba[k] = ba[i]
 
     def _local_inertial_ba(self, kf_id: int):
         """LocalInertialBA: temporal window, last ``W_free`` free
@@ -742,8 +769,12 @@ class MonoInertialSlam(MonoSlam):
                 self.cam_params,
                 last_angle=last["feats"].angle, feats_angle=feats.angle)
         with self._stage("lm_track"):
-            if int(res.n_inliers) < 10:
-                res = res._replace(R=Rc_pred, t=tc_pred)
+            # Fall back to the IMU prediction when the projection match is
+            # thin — a device-side select, not a host round-trip.
+            ok_mm = res.n_inliers >= 10
+            res = res._replace(
+                R=jnp.where(ok_mm, res.R, jnp.asarray(Rc_pred)),
+                t=jnp.where(ok_mm, res.t, jnp.asarray(tc_pred)))
             # Dispatch through the subclass override so stereo-inertial
             # systems run the mixed mono/stereo-residual local-map tracker
             # (StereoSlam._track_local_map; VERDICT r3 missing #6).
@@ -755,8 +786,7 @@ class MonoInertialSlam(MonoSlam):
         has = (bind >= 0) & feats.valid
         pts_w = lms.pos[jnp.maximum(bind, 0)]
         inv_s2 = tracking.INV_SIGMA2[feats.level]
-        Rb0, pb0 = body_from_cam(np.asarray(res.R), np.asarray(res.t),
-                                 self.R_bc, self.t_bc)
+        Rb0, pb0 = body_from_cam(res.R, res.t, self.R_bc, self.t_bc)
         # Stereo rows: u_r per keypoint when the rig provides them
         # (EdgeStereoOnlyPose, chi2 anneal 15.6/9.8/7.815/7.815).
         ba_kw = self._ba_kwargs()
@@ -780,7 +810,26 @@ class MonoInertialSlam(MonoSlam):
             prior_H=prior_H, obs_ur=obs_ur, bf=bf_v,
             with_prior=prior_H is not None)
 
-        n_inliers = int(pr.n_inliers)
+        # Device-side epilogue: camera pose, gated found-counter update and
+        # the small host readback packed into ONE transfer
+        # (n_inliers, R_cw(9), t_cw(3), bg(3), ba(3) = 19 floats).
+        ok = pr.n_inliers >= 15
+        bindings = jnp.where(pr.inlier, bind, -1)
+        Rc_d, tc_d = cam_from_body(pr.R, pr.p, jnp.asarray(self.R_cb),
+                                   jnp.asarray(self.t_cb))
+        add = jnp.zeros((self.cfg.max_lm,), jnp.int32).at[
+            jnp.where(bindings >= 0, bindings, self.cfg.max_lm)].add(
+                1, mode="drop")
+        add = jnp.where(ok, add, 0)
+        lms2 = self.state.lms
+        lms2 = lms2._replace(n_found=lms2.n_found + add,
+                             n_visible=lms2.n_visible + add)
+        info = jnp.concatenate([
+            pr.n_inliers[None].astype(jnp.float32), Rc_d.reshape(-1), tc_d,
+            pr.bg, pr.ba])
+        info_np = np.asarray(info)           # the one per-frame device sync
+        n_inliers = int(info_np[0])
+
         if n_inliers < 15:
             # RECENTLY_LOST: IMU dead-reckoning grace (Tracking.cc:2925).
             self._pose_prior_H = None
@@ -800,29 +849,21 @@ class MonoInertialSlam(MonoSlam):
         self.status = OK
         self.lost_frames = 0
         self._body = (pr.R, pr.p, pr.v)
-        self._bias = np.concatenate([np.asarray(pr.bg), np.asarray(pr.ba)])
+        self._bias = np.concatenate([info_np[13:16], info_np[16:19]])
         # Carry the marginal of this solve as the next frame's prior.
         self._pose_prior_H = pr.H_marg
-        bindings = jnp.where(pr.inlier, bind, -1)
+        R_np = info_np[1:10].reshape(3, 3).astype(np.float32)
+        t_np = info_np[10:13].astype(np.float32)
 
-        Rc, tc = cam_from_body(np.asarray(pr.R), np.asarray(pr.p),
-                               self.R_cb, self.t_cb)
-        Rc, tc = jnp.asarray(Rc), jnp.asarray(tc)
+        self.state = self.state._replace(lms=lms2)
 
-        # Found/visible counters for culling.
-        bound = np.asarray(bindings)
-        seen = bound[bound >= 0]
-        lms_found = jnp.zeros((self.cfg.max_lm,), jnp.int32).at[
-            jnp.asarray(seen)].add(1)
-        self.state = self.state._replace(lms=self.state.lms._replace(
-            n_found=self.state.lms.n_found + lms_found,
-            n_visible=self.state.lms.n_visible + lms_found))
-
-        self._last = dict(feats=feats, bindings=bindings, R=Rc, t=tc,
+        self._last = dict(feats=feats, bindings=bindings, R=R_np, t=t_np,
                           stamp=stamp)
         self.frames_since_kf += 1
         if not self.localization_only and self._need_new_keyframe(n_inliers):
-            tr = tracking.TrackResult(R=Rc, t=tc, bindings=bindings,
+            tr = tracking.TrackResult(R=jnp.asarray(R_np),
+                                      t=jnp.asarray(t_np),
+                                      bindings=bindings,
                                       n_inliers=pr.n_inliers)
             self._create_keyframe(feats, tr, stamp)
             # KF BA may have moved the newest pose; refresh the body state
@@ -833,7 +874,7 @@ class MonoInertialSlam(MonoSlam):
                                    self.R_bc, self.t_bc)
             self._body = (jnp.asarray(Rb), jnp.asarray(pb),
                           jnp.asarray(self.kf_vel[self.last_kf_id]))
-        return (Rc, tc)
+        return (R_np, t_np)
 
     # ------------------------------------------------------------------
     def _handle_lost(self, feats, stamp):

@@ -263,7 +263,11 @@ def windowed_local_ba(state: ms.MapState, kf_id: jnp.ndarray, cam_params,
         obs_ur=(jnp.where(in_win, kfs.kp_ur[kf_safe, okp_g], -1.0)
                 if use_stereo else None),
         bf=(jnp.asarray(bf, jnp.float32) if use_stereo else None))
-    res = ba.bundle_adjust(prob, model_id=model_id)
+    # (4, 6) iterations instead of the reference's nominal (5, 10): its
+    # per-KF local BA runs with mbAbortBA set whenever a new KF arrives
+    # (LocalMapping.cc:1168-1175), so under real-time load it rarely
+    # completes the nominal schedule either.
+    res = ba.bundle_adjust(prob, model_id=model_id, stages=(4, 6))
 
     # --- Scatter back (free poses, window landmarks, inlier gating). ------
     scat_kf = jnp.where(win_ok & ~win_fixed, win_ids, max_kf)
@@ -346,14 +350,14 @@ def _alloc_landmark_slots(lm_valid: jnp.ndarray, good: jnp.ndarray):
 
 @functools.partial(jax.jit, static_argnames=(
     "model_id", "use_stereo", "n_neighbors", "n_free", "n_window",
-    "n_lm_window", "do_kf_cull"))
+    "n_lm_window", "do_kf_cull", "do_local_ba"))
 def keyframe_bundle(state: ms.MapState, kf_id, R, t, stamp, feats, ur,
                     bindings, cam_params, n_lm_hwm,
                     img_w: float, img_h: float,
                     model_id: int = cam.PINHOLE, use_stereo: bool = False,
                     bf: float = 0.0, n_neighbors: int = 3, n_free: int = 9,
                     n_window: int = 32, n_lm_window: int = 4096,
-                    do_kf_cull: bool = True):
+                    do_kf_cull: bool = True, do_local_ba: bool = True):
     """The WHOLE per-keyframe LocalMapping work as one device dispatch:
     KF insert + observation binding, neighbour selection (device top-k),
     epipolar triangulation against ``n_neighbors`` covisible KFs with
@@ -407,10 +411,16 @@ def keyframe_bundle(state: ms.MapState, kf_id, R, t, stamp, feats, ur,
         hwm = jnp.maximum(hwm, jnp.max(jnp.where(ok, slots + 1, 0)))
 
     state = fuse_duplicates(state, kf_id, cam_params, img_w, img_h)
-    state = windowed_local_ba(state, kf_id, cam_params, model_id=model_id,
-                              use_stereo=use_stereo, bf=bf, n_free=n_free,
-                              n_window=n_window, n_lm_window=n_lm_window)
-    state = cull_landmarks(state, kf_id)
+    if do_local_ba:
+        # Visual systems refine + cull inside the bundle; inertial systems
+        # pass do_local_ba=False and run LocalInertialBA + chain-aware
+        # culling on the host afterwards (their schedule needs the chain).
+        state = windowed_local_ba(state, kf_id, cam_params,
+                                  model_id=model_id,
+                                  use_stereo=use_stereo, bf=bf,
+                                  n_free=n_free, n_window=n_window,
+                                  n_lm_window=n_lm_window)
+        state = cull_landmarks(state, kf_id)
     valid_pre = state.kfs.valid
     if do_kf_cull:
         state = cull_keyframes(state, kf_id)

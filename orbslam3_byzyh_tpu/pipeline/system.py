@@ -654,23 +654,23 @@ class MonoSlam:
         return max(n, 1)
 
     # ------------------------------------------------------------------
-    def _use_mapping_bundle(self) -> bool:
-        """Fused async per-KF mapping (keyframe_bundle) for the visual
-        systems; the inertial subclass overrides to keep its staged path
-        (LocalInertialBA + chain-aware culling need host orchestration)."""
-        return True
+    # Per-KF mapping work: fused async bundle. Visual systems run the
+    # windowed local BA + culling INSIDE the bundle; inertial systems
+    # (``_bundle_local_ba = False``) run LocalInertialBA + chain-aware
+    # culling on the host right after (their schedule needs the temporal
+    # chain), still with the triangulation/fusion machinery fused.
+    # ------------------------------------------------------------------
+    _bundle_local_ba = True
 
     def _create_keyframe(self, feats, track_res, stamp):
         """CreateNewKeyFrame (:4589) + the LocalMapping work for this KF.
 
-        Bundle path: ONE device dispatch covering insert/triangulate/fuse/
-        windowed-BA/culling; its small outputs are read back LAZILY (at the
-        next keyframe) so tracking keeps running while the device crunches —
+        ONE device dispatch covers insert/triangulate/fuse(/windowed-BA/
+        culling); its small outputs are read back LAZILY (at the next
+        keyframe) so tracking keeps running while the device crunches —
         the array-state analog of the reference's Tracking ∥ LocalMapping
         threads with a lagging LoopClosing queue (System.cc:223-265).
         """
-        if not self._use_mapping_bundle():
-            return self._create_keyframe_staged(feats, track_res, stamp)
         # Settle the PREVIOUS keyframe's deferred work first (its bundle has
         # had a whole KF interval of device time to finish).
         self._drain_pending()
@@ -688,7 +688,8 @@ class MonoSlam:
             n_free=self.cfg.local_window + 1,
             n_window=self.cfg.ba_window,
             n_lm_window=self.cfg.ba_lm_window,
-            do_kf_cull=(self.n_kf >= 8))
+            do_kf_cull=(self._bundle_local_ba and self.n_kf >= 8),
+            do_local_ba=self._bundle_local_ba)
         valid_before = np.asarray(self.state.kfs.valid)  # pre-bundle (host)
         self.state = state
         self.n_kf = kf_id + 1
@@ -701,6 +702,17 @@ class MonoSlam:
         # (exact post-BA value lands when the pending info is drained).
         self._ref_cache = (kf_id, np.asarray(track_res.R),
                           np.asarray(track_res.t))
+        if not self._bundle_local_ba:
+            # Inertial refinement + culling (host-scheduled).
+            with self._stage("lba"):
+                self._local_refine(kf_id, None, None)
+            with self._stage("mp_culling"):
+                self.state = mapping.cull_landmarks(
+                    self.state, jnp.asarray(kf_id, jnp.int32))
+            with self._stage("kf_culling"):
+                self._maybe_cull_keyframes(kf_id)
+            self._last["R"] = self.state.kfs.R[kf_id]
+            self._last["t"] = self.state.kfs.t[kf_id]
         if self.loop_closer is not None:
             self.loop_closer.add_keyframe(self.state, kf_id)  # no host sync
         self._pending_kf = dict(kf_id=kf_id, info=info, culled=culled,
@@ -781,76 +793,6 @@ class MonoSlam:
                 if mdet is not None:
                     self._merge_maps(kf_id, *mdet)
 
-    def _create_keyframe_staged(self, feats, track_res, stamp):
-        """Host-orchestrated per-stage keyframe path (inertial systems:
-        LocalInertialBA + preintegration-merge culling live here)."""
-        kf_id = self.n_kf
-        with self._stage("kf_insert"):
-            self.state = ms.add_keyframe(self.state, kf_id, track_res.R,
-                                         track_res.t, stamp, feats,
-                                         ur=self._ur)
-            self.n_kf += 1
-            self.frames_since_kf = 0
-
-            # Bind tracked landmarks as observations of the new KF.
-            bindings = track_res.bindings
-            kp_idx = jnp.arange(self.cfg.n_features, dtype=jnp.int32)
-            has = bindings >= 0
-            self.state = ms.add_observations(
-                self.state, jnp.maximum(bindings, 0), kf_id, kp_idx, has)
-
-        with self._stage("mp_creation"):
-            # Triangulate new landmarks against covisible neighbors.
-            counts = np.array(ms.covisibility_counts(
-                self.state, kf_id, self.cfg.max_kf))  # np view is read-only
-            counts[kf_id] = 0
-            order = np.argsort(-counts)
-            neighbors = [int(k) for k in
-                         order[:self.cfg.triangulation_neighbors]
-                         if counts[k] >= 15 and bool(self.state.kfs.valid[k])]
-            # Spanning-tree parent: the most-covisible existing KF
-            # (KeyFrame::UpdateConnections parent selection).
-            best = int(order[0])
-            self.kf_parent[kf_id] = (
-                best if counts[best] > 0 else
-                (self.last_kf_id if 0 <= self.last_kf_id != kf_id else -1))
-            free_kp = feats.valid & (bindings < 0)
-            for nb in neighbors:
-                self._triangulate_with(kf_id, nb, feats, free_kp)
-                # Refresh free mask: newly created landmarks bind kps.
-                seen, kp_of = ms.landmarks_seen_by(self.state, kf_id)
-                bound_now = jnp.zeros((self.cfg.n_features,), bool).at[
-                    jnp.where(seen, kp_of, self.cfg.n_features)].set(
-                        True, mode="drop")
-                free_kp = feats.valid & ~bound_now
-
-            # Duplicate fusion (SearchInNeighbors, LocalMapping.cc:917).
-            self.state = mapping.fuse_duplicates(
-                self.state, jnp.asarray(kf_id, jnp.int32), self.cam_params,
-                float(self.cfg.width), float(self.cfg.height))
-
-        with self._stage("lba"):
-            self._local_refine(kf_id, counts, order)
-        with self._stage("mp_culling"):
-            self.state = mapping.cull_landmarks(
-                self.state, jnp.asarray(kf_id, jnp.int32))
-        with self._stage("kf_culling"):
-            self._maybe_cull_keyframes(kf_id)
-        self.last_kf_id = kf_id
-
-        # KF database feeds BOTH relocalization and loop detection
-        # (KeyFrameDatabase, used by Tracking::Relocalization and
-        # LoopClosing alike), so insertion is not gated on loop closing.
-        if self.loop_closer is not None:
-            self.loop_closer.add_keyframe(self.state, kf_id)
-        # Loop closing (LoopClosing::Run per-KF work, :100).
-        self._run_loop_closing(kf_id)
-
-        # Rebind current-frame bindings to post-BA state (pose refreshed).
-        self._last["R"] = self.state.kfs.R[kf_id]
-        self._last["t"] = self.state.kfs.t[kf_id]
-        self._refresh_ref_cache()
-
     # ------------------------------------------------------------------
     # Atlas persistence (System::SaveAtlas/LoadAtlas, System.cc:1484,1535)
     # ------------------------------------------------------------------
@@ -918,10 +860,26 @@ class MonoSlam:
         self.state = mapping.fuse_duplicates(
             self.state, jnp.asarray(kf_id, jnp.int32), self.cam_params,
             float(self.cfg.width), float(self.cfg.height))
-        # Merge BA over the welded map (merge variant of
-        # LocalBundleAdjustment, src/Optimizer.cc:5195).
-        self.state = mapping.global_ba(self.state, self.cam_params,
-                                       mesh=self.mesh, **self._ba_kwargs())
+        # Merge refinement. Small atlases: full-map BA (exact). Large
+        # multi-session atlases: the reference's WELDING-WINDOW local BA
+        # (merge variant of LocalBundleAdjustment, src/Optimizer.cc:5195 —
+        # free = current KF + its covisible group, which after fusion spans
+        # both sides of the weld), O(window) instead of O(map). The
+        # reference's follow-up OptimizeEssentialGraph (:5667) propagates
+        # the correction to the rest of the OLD map; here atlas.merge
+        # already rebased the whole transplanted map rigidly through the
+        # welding Sim3, so no graph solve is needed for propagation.
+        if self.n_kf <= 64:
+            self.state = mapping.global_ba(self.state, self.cam_params,
+                                           mesh=self.mesh,
+                                           **self._ba_kwargs())
+        else:
+            self.state = mapping.windowed_local_ba(
+                self.state, jnp.asarray(kf_id, jnp.int32), self.cam_params,
+                n_free=max(self.cfg.local_window + 1, 12),
+                n_window=self.cfg.ba_window,
+                n_lm_window=self.cfg.ba_lm_window,
+                **self._ba_kwargs())
         self._last["R"] = self.state.kfs.R[kf_id]
         self._last["t"] = self.state.kfs.t[kf_id]
         self._vel = None

@@ -41,6 +41,33 @@ def _mv(A, v):
     return jnp.einsum("...ij,...j->...i", A, v, precision=_HI)
 
 
+def _inv3x3(A):
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    jnp.linalg.inv lowers to a LAPACK-style LU loop that costs ~3 ms for
+    (4096, 3, 3) on a v5e — this elementwise form is ~free and runs once
+    per LM iteration on the damped (PSD, det>0) landmark blocks."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1)], -2)
+    return adj * inv_det[..., None, None]
+
+
 class BAProblem(NamedTuple):
     R: jnp.ndarray          # (K, 3, 3) Rcw per keyframe
     t: jnp.ndarray          # (K, 3)
@@ -138,9 +165,18 @@ def schur_pieces(obs_kf, sys, lam, n_kf: int):
     landmark-sharded mesh (parallel/dist_ba.py). Shapes: Hpp (K,6,6),
     bp (K,6), cross (K,K,6,6), corr (K,6); plus the shard-local
     (Hll_inv, has_obs) needed for back-substitution.
+
+    MXU formulation: every segment-sum over the keyframe index runs as a
+    one-hot matmul instead of a scatter-add (TPU scatters serialize; the
+    previous formulation also materialized an (L, O, O, 6, 6) slot-pair
+    tensor and scattered L*O*O blocks — ~25x slower on a v5e). The one-hot
+    E (L, O, K) turns Hpp/bp/corr into single (K x LO)·(LO x d) matmuls and
+    the Schur cross block into cross[k1,k2] = sum_l U[l,k1] V[l,k2]^T with
+    U = E^T·(W Hll_inv), V = E^T·W — an (L-contracted) batched matmul.
     """
     kf = jnp.maximum(obs_kf, 0)                # (L, O)
     L, O = kf.shape
+    dtype = sys["Hll"].dtype
 
     # Damped landmark blocks and their inverses.
     Hll = sys["Hll"]
@@ -150,25 +186,25 @@ def schur_pieces(obs_kf, sys, lam, n_kf: int):
     has_obs = diag_l.sum(-1) > 1e-12
     Hll_d = jnp.where(has_obs[:, None, None], Hll_d,
                       jnp.broadcast_to(jnp.eye(3, dtype=Hll.dtype), Hll_d.shape))
-    Hll_inv = jnp.linalg.inv(Hll_d)            # (L, 3, 3)
+    Hll_inv = _inv3x3(Hll_d)                   # (L, 3, 3)
 
-    # Pose diagonal blocks and rhs (scatter over kf index).
-    Hpp = jnp.zeros((n_kf, 6, 6), Hll.dtype).at[kf.reshape(-1)].add(
-        sys["Hpp_o"].reshape(L * O, 6, 6))
-    bp = jnp.zeros((n_kf, 6), Hll.dtype).at[kf.reshape(-1)].add(
-        sys["bp_o"].reshape(L * O, 6))
+    # One-hot keyframe indicator. Masked observations carry zero weight in
+    # every sys[...] tensor, so the clamped kf index contributes nothing.
+    E = (kf[..., None] == jnp.arange(n_kf)).astype(dtype)     # (L, O, K)
 
-    # Schur cross terms: W[l,o1] Hll_inv[l] W[l,o2]^T for all slot pairs.
+    # Pose diagonal blocks and rhs: segment-sums as matmuls.
+    Hpp = jnp.einsum("lok,loij->kij", E, sys["Hpp_o"], precision=_HI)
+    bp = jnp.einsum("lok,loi->ki", E, sys["bp_o"], precision=_HI)
+
+    # Schur cross terms: cross[k1,k2] = sum_l (E^T WHinv)[l,k1] (E^T W)[l,k2]^T.
     W = sys["W"]                                # (L, O, 6, 3)
     WHinv = jnp.einsum("loij,ljk->loik", W, Hll_inv, precision=_HI)  # (L,O,6,3)
-    cross_o = jnp.einsum("laij,lbkj->labik", WHinv, W, precision=_HI)  # (L,O,O,6,6)
-    pair_idx = (kf[:, :, None] * n_kf + kf[:, None, :]).reshape(-1)  # (L*O*O,)
-    cross = jnp.zeros((n_kf * n_kf, 6, 6), Hll.dtype).at[pair_idx].add(
-        cross_o.reshape(-1, 6, 6)).reshape(n_kf, n_kf, 6, 6)
+    U = jnp.einsum("lok,loij->lkij", E, WHinv, precision=_HI)  # (L,K,6,3)
+    V = jnp.einsum("lok,loij->lkij", E, W, precision=_HI)      # (L,K,6,3)
+    cross = jnp.einsum("lkim,lqjm->kqij", U, V, precision=_HI)  # (K,K,6,6)
 
     corr_o = jnp.einsum("loik,lk->loi", WHinv, sys["bl"], precision=_HI)
-    corr = jnp.zeros((n_kf, 6), Hll.dtype).at[kf.reshape(-1)].add(
-        corr_o.reshape(L * O, 6))
+    corr = jnp.einsum("lok,loi->ki", E, corr_o, precision=_HI)
     return dict(Hpp=Hpp, bp=bp, cross=cross, corr=corr,
                 Hll_inv=Hll_inv, has_obs=has_obs)
 
@@ -217,7 +253,15 @@ def _schur_reduce(p: BAProblem, sys, lam, n_kf: int):
 
 def _retract(R, t, points, dp, dl, fixed):
     dR, dt = lie.se3_exp(dp)                    # (K, 3, 3), (K, 3)
-    Rn = lie.normalize_rotation(jnp.matmul(dR, R, precision=_HI))
+    Rn = jnp.matmul(dR, R, precision=_HI)
+    # One Newton-Schulz step R <- R (3I - R^T R) / 2 re-orthonormalizes the
+    # near-orthogonal product (quadratic convergence; input is within float
+    # eps of SO(3) after the exp retraction) — pure matmuls instead of the
+    # batched-SVD projection, which dominates an LM iteration on TPU.
+    RtR = jnp.matmul(jnp.swapaxes(Rn, -1, -2), Rn, precision=_HI)
+    Rn = 0.5 * jnp.matmul(
+        Rn, 3.0 * jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), RtR.shape)
+        - RtR, precision=_HI)
     tn = _mv(dR, t) + dt
     keep = fixed[:, None]
     Rn = jnp.where(keep[..., None], R, Rn)
@@ -250,21 +294,25 @@ def bundle_adjust(p: BAProblem, model_id: int = cam.PINHOLE,
             R_, t_, pts_ = state
             return _build_system(p, R_, t_, pts_, inl, model_id, rob, delta2)
 
-        sys0 = build((R, t, points))
-        cost = sys0["cost"]
+        state = (R, t, points)
+        sys_cur = build(state)
+        cost = sys_cur["cost"]
         lam = jnp.asarray(1e-4, jnp.float32)
 
-        state = (R, t, points)
         for _ in range(n_iters):
-            sys_ = build(state)
-            dp, dl = _schur_reduce(p, sys_, lam, n_kf)
+            # One system build per iteration: the candidate's system is
+            # reused as the next linearization when accepted (the standard
+            # LM bookkeeping g2o also uses) instead of rebuilding.
+            dp, dl = _schur_reduce(p, sys_cur, lam, n_kf)
             cand = _retract(state[0], state[1], state[2], dp, dl, p.fixed)
-            cost_new = build(cand)["cost"]
-            accept = cost_new < cost
+            sys_cand = build(cand)
+            accept = sys_cand["cost"] < cost
             state = jax.tree.map(
                 lambda a, b: jnp.where(accept, b, a), state, cand)
+            sys_cur = jax.tree.map(
+                lambda a, b: jnp.where(accept, b, a), sys_cur, sys_cand)
             lam = jnp.where(accept, lam * 0.5, lam * 10.0)
-            cost = jnp.where(accept, cost_new, cost)
+            cost = jnp.where(accept, sys_cand["cost"], cost)
         R, t, points = state
 
         # Outlier re-classification.

@@ -20,6 +20,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 
+def _default_vocabulary():
+    """Shipped 10k-word vocabulary (vocabulary/synthetic_voc_10k.npz) —
+    the repo's stand-in for the reference's ORBvoc.txt; enables
+    relocalization + loop closing by default."""
+    import os
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     "vocabulary", "synthetic_voc_10k.npz")
+    return p if os.path.exists(p) else None
+
+
 def main():
     from orbslam3_byzyh_tpu.utils.platform import apply_platform_env
     apply_platform_env()
@@ -28,7 +38,9 @@ def main():
     ap.add_argument("sequence", nargs="+")
     ap.add_argument("--timestamps", nargs="*", default=None)
     ap.add_argument("--output-name", default="output")
-    ap.add_argument("--vocabulary", default=None)
+    ap.add_argument("--vocabulary", default=_default_vocabulary())
+    ap.add_argument("--no-vocabulary", action="store_true",
+                    help="disable reloc/loop closing")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--no-imu", action="store_true")
     ap.add_argument("--no-loop-closing", action="store_true")
@@ -58,6 +70,8 @@ def main():
                                       cfg_yaml.Tlr)
 
     voc = None
+    if args.no_vocabulary:
+        args.vocabulary = None
     if args.vocabulary:
         from orbslam3_byzyh_tpu.ops import bow
         voc = bow.load_vocabulary(args.vocabulary)

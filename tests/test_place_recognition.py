@@ -91,3 +91,30 @@ class TestPlaceRecognition:
         vq_np = np.asarray(vq)
         frac = pm[np.ix_(vq_np, va_np)].mean()
         assert frac < 0.10, frac
+
+    def test_grouped_scoring_matches_reference_semantics(self, voc, corpus):
+        """DetectNBestCandidates parity (KeyFrameDatabase.cc:649-760):
+        covisibility-group accumulated scoring + the 0.8x common-words gate
+        still rank the true place first when neighbours pool their votes."""
+        import jax.numpy as jnp
+        entries, queries = corpus
+        db = KeyframeDatabase(voc, max_kf=256, n_feat=N_FEAT)
+        for k, (desc, valid) in enumerate(entries):
+            db.add(k, desc, valid)
+        # Synthetic covisibility: temporal band (same-world neighbours
+        # within +-3 frames share landmarks).
+        K = 256
+        idx = np.arange(K)
+        band = np.maximum(0, 40 - 13 * np.abs(idx[:, None] - idx[None, :]))
+        same_world = (idx[:, None] // N_PER_WORLD) == (idx[None] // N_PER_WORLD)
+        in_corpus = (idx < len(entries))
+        covis = band * same_world * in_corpus[:, None] * in_corpus[None, :]
+        np.fill_diagonal(covis, 0)
+        covis = jnp.asarray(covis, jnp.int32)
+        hits = 0
+        for gt_id, desc, valid in queries:
+            ids, scores, _ = db.query_groups(desc, valid, covis, top_n=3)
+            if any(abs(int(i) - gt_id) <= 3 for i in ids[:1]):
+                hits += 1
+        precision = hits / len(queries)
+        assert precision >= 0.8, precision
