@@ -136,6 +136,7 @@ def integrate_step(state: PreintState, acc: jnp.ndarray, gyr: jnp.ndarray,
     return jax.tree.map(lambda n, o: jnp.where(is_pad, o, n), new, state)
 
 
+@jax.jit
 def integrate(acc: jnp.ndarray, gyr: jnp.ndarray, dts: jnp.ndarray,
               bias: jnp.ndarray, noise_cov: jnp.ndarray,
               walk_cov: jnp.ndarray) -> PreintState:
@@ -180,6 +181,7 @@ def delta_position(state: PreintState, new_bias: jnp.ndarray) -> jnp.ndarray:
     return state.dP + _mv(state.JPg, dbg) + _mv(state.JPa, dba)
 
 
+@jax.jit
 def predict_state(R_wb: jnp.ndarray, v_w: jnp.ndarray, p_w: jnp.ndarray,
                   state: PreintState, new_bias: jnp.ndarray):
     """Dead-reckon world-frame body state across the preintegrated window.

@@ -234,6 +234,10 @@ class MonoInertialSlam(MonoSlam):
         self.buf = ImuBuffer()
         # Per-KF inertial state (parallel to MapState keyframe slots).
         mk = config.max_kf
+        # Host mirror of keyframe stamps (lazy-filled): the schedule logic
+        # reads stamps every frame pre-init, and each device read through a
+        # remote tunnel costs one RTT.
+        self.kf_stamp = np.full(mk, np.nan, np.float64)
         self.kf_vel = np.zeros((mk, 3), np.float32)
         self.kf_bg = np.zeros((mk, 3), np.float32)
         self.kf_ba = np.zeros((mk, 3), np.float32)
@@ -305,7 +309,11 @@ class MonoInertialSlam(MonoSlam):
             np.zeros(6, np.float32), KF_STEPS)
 
     def _trajectory_kf_stamp(self, kf_id: int) -> float:
-        return float(np.asarray(self.state.kfs.stamp[kf_id]))
+        v = self.kf_stamp[kf_id]
+        if np.isnan(v):
+            v = float(np.asarray(self.state.kfs.stamp[kf_id]))
+            self.kf_stamp[kf_id] = v
+        return float(v)
 
     # ------------------------------------------------------------------
     # Keyframe creation: add inertial bookkeeping around the parent's work.
@@ -329,6 +337,7 @@ class MonoInertialSlam(MonoSlam):
     def _create_keyframe(self, feats, track_res, stamp):
         prev = self.last_kf_id
         kf_id = self.n_kf
+        self.kf_stamp[kf_id] = stamp
         # Inertial bookkeeping FIRST: the local refine inside the parent's
         # keyframe work consumes this KF's preintegration + velocity.
         self.kf_prev[kf_id] = prev
@@ -343,8 +352,12 @@ class MonoInertialSlam(MonoSlam):
             self.kf_ba[kf_id] = self._bias[3:]
         super()._create_keyframe(feats, track_res, stamp)
         self._imu_schedule(kf_id, stamp)
-        # The schedule's BAs / rebases may have moved this KF's pose.
-        self._refresh_ref_cache()
+        # NOTE: the per-KF LocalInertialBA's correction to the newest pose
+        # is NOT folded into the host ref-pose cache here — doing so would
+        # block the host on the VIBA queue every keyframe. The init/VIBA1/2/
+        # scale-refinement/merge events refresh the cache themselves (big
+        # corrections); the residual per-KF delta is mm-scale and future
+        # corrections still apply through the replay.
 
     def _local_refine(self, kf_id: int, counts, order):
         if not self.imu_ready:
@@ -368,7 +381,7 @@ class MonoInertialSlam(MonoSlam):
         frac = np.asarray(frac)
         seen = np.asarray(seen)
         kf_valid = np.asarray(self.state.kfs.valid)
-        stamps = np.asarray(self.state.kfs.stamp)
+        stamps = self.kf_stamp     # host mirror (no device read)
         n = self.n_kf
         # Chain successor lookup.
         nxt = np.full(self.cfg.max_kf, -1, np.int32)
@@ -386,7 +399,8 @@ class MonoInertialSlam(MonoSlam):
             p, nx = int(self.kf_prev[k]), int(nxt[k])
             if p < 0 or nx < 0:
                 continue
-            if stamps[nx] - stamps[p] >= 3.0:   # LocalMapping.cc:1228 gate
+            if (np.isnan(stamps[nx]) or np.isnan(stamps[p])
+                    or stamps[nx] - stamps[p] >= 3.0):  # LocalMapping.cc:1228
                 continue
             best, best_frac = k, frac[k]
         if best < 0:
@@ -421,6 +435,9 @@ class MonoInertialSlam(MonoSlam):
         for arr in (self.kf_vel, self.kf_bg, self.kf_ba):
             arr[new_ids] = arr[live]
             arr[len(live):] = 0.0
+        stamps_new = np.full(mk, np.nan, np.float64)
+        stamps_new[new_ids] = self.kf_stamp[live]
+        self.kf_stamp = stamps_new
         prev_new = np.full(mk, -1, np.int32)
         preint_new = [None] * mk
         for old, new in zip(live, new_ids):
@@ -754,11 +771,11 @@ class MonoInertialSlam(MonoSlam):
             bias_j = jnp.asarray(self._bias)
             R_pred, v_pred, p_pred = imu.predict_state(R_wb, v_w, p_w, pre_f,
                                                        bias_j)
-        Rc_pred, tc_pred = cam_from_body(np.asarray(R_pred),
-                                         np.asarray(p_pred),
-                                         self.R_cb, self.t_cb)
-        Rc_pred = jnp.asarray(Rc_pred)
-        tc_pred = jnp.asarray(tc_pred)
+        # Device-side conversion (an np.asarray here would block on the
+        # whole device queue — including the previous KF's VIBA).
+        Rc_pred, tc_pred = cam_from_body(R_pred, p_pred,
+                                         jnp.asarray(self.R_cb),
+                                         jnp.asarray(self.t_cb))
 
         lms = self.state.lms
         with self._stage("pose_pred"):
@@ -806,7 +823,9 @@ class MonoInertialSlam(MonoSlam):
             R_wb, p_w, v_w, bias_j[:3], bias_j[3:],
             pre_f, pts_w, feats.xy, inv_s2, has,
             self.cam_params, jnp.asarray(self.R_cb), jnp.asarray(self.t_cb),
-            self._walk_info(float(pre_f.dT)),
+            # dt is host-known (stamp - last); reading pre_f.dT back would
+            # force a device sync mid-frame.
+            self._walk_info(max(stamp - self._last_stamp, 1e-3)),
             prior_H=prior_H, obs_ur=obs_ur, bf=bf_v,
             with_prior=prior_H is not None)
 
@@ -887,3 +906,4 @@ class MonoInertialSlam(MonoSlam):
         self._pose_prior_H = None
         self.kf_prev[:] = -1
         self.kf_preint = [None] * self.cfg.max_kf
+        self.kf_stamp[:] = np.nan

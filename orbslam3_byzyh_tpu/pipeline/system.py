@@ -964,8 +964,12 @@ class MonoSlam:
         if self.loop_closer is None:
             return None
         from ..ops import matching, pnp
-        ids, scores, _ = self.loop_closer.db.query(
-            feats.desc, feats.valid, top_n=3)
+        # Covisibility-group accumulated candidate scoring, like loop
+        # detection (DetectRelocalizationCandidates shares the group logic,
+        # /root/reference/src/KeyFrameDatabase.cc:827).
+        ids, scores, _ = self.loop_closer.db.query_groups(
+            feats.desc, feats.valid, ms.covisibility_matrix(self.state),
+            top_n=3)
         lms = self.state.lms
         for cand in ids:
             if cand < 0 or not bool(self.state.kfs.valid[cand]):
