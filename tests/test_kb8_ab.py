@@ -26,6 +26,8 @@ from scipy.spatial.transform import Rotation
 from orbslam3_byzyh_tpu.ops import camera as cam
 from orbslam3_byzyh_tpu.solver import pose_opt
 
+pytestmark = pytest.mark.slow  # measurement-study tier (see pyproject)
+
 # TUM-VI 512 public calibration (strong fisheye, ~195 deg lens).
 KB8 = np.array([190.97848, 190.97331, 254.93171, 256.89744,
                 0.0034823894, 0.00071503485, -0.0020532361, 0.00020293674],

@@ -8,6 +8,9 @@ from orbslam3_byzyh_tpu.ops import fast_orb
 from orbslam3_byzyh_tpu.pipeline.system import MonoSlam, SlamConfig
 from orbslam3_byzyh_tpu.utils import viewer
 from synth_world import SynthWorld
+import pytest
+
+pytestmark = pytest.mark.slow  # measurement-study tier (see pyproject)
 
 
 def test_snapshot_renders(tmp_path):
