@@ -282,3 +282,41 @@ class TestLoopCloser:
         dR = np.asarray(lie.so3_log(jnp.asarray(rel1[0] @ rel2[0].T)))
         assert np.linalg.norm(dR) < 0.05, dR
         assert np.linalg.norm(rel1[1] - rel2[1]) < 0.15, (rel1[1], rel2[1])
+
+
+def test_replay_improves_preloop_frames(voc, rng):
+    """VERDICT r3 missing #2 'Done' gate: frames logged BEFORE the loop
+    closure, stored relative to their reference KFs (TrajectoryLog), must
+    come out more accurate when replayed AFTER the closure — the
+    reference's save-time mlRelativeFramePoses replay effect."""
+    from orbslam3_byzyh_tpu.pipeline.trajectory_log import TrajectoryLog
+    from orbslam3_byzyh_tpu.utils import evaluate
+
+    state, n_kf, Rs_gt, cs_gt = build_circular_map(rng)
+    lc = loop_closing.LoopCloser(voc, MAX_KF, N_FEAT, cfg=_test_cfg(),
+                                 cam_params=CAM)
+    for k in range(n_kf):
+        lc.add_keyframe(state, k)
+
+    # One "frame" per keyframe, logged with identity relative pose.
+    log = TrajectoryLog()
+    R_np = np.asarray(state.kfs.R)
+    t_np = np.asarray(state.kfs.t)
+    for k in range(n_kf):
+        log.log(float(k), R_np[k], t_np[k], k, R_np[k], t_np[k])
+
+    def ate(st):
+        out = log.replay(np.asarray(st.kfs.R), np.asarray(st.kfs.t))
+        est = evaluate.camera_centers(np.stack([R for _, R, _ in out]),
+                                     np.stack([t for _, _, t in out]))
+        _, _, _, rmse = evaluate.horn_align(est, cs_gt, with_scale=False)
+        return rmse
+
+    ate_before = ate(state)
+    det = lc.detect(state, n_kf - 1, n_kf)
+    assert det is not None
+    cand, corr = det
+    state2 = lc.close(state, n_kf - 1, cand, corr, n_kf)
+    ate_after = ate(state2)
+    # The drifted pre-loop frames are retroactively corrected.
+    assert ate_after < 0.6 * ate_before, (ate_before, ate_after)
