@@ -855,6 +855,11 @@ class MonoSlam:
             self.kf_parent[kf_lo] = kf_id
         self.loop_closer.on_maps_merged(self.atlas.current, other_idx,
                                         self.state, kf_lo, kf_hi)
+        # Frozen frame records of the merged-away session follow the weld
+        # into active-world coordinates (multi-session SaveTrajectoryEuRoC:
+        # the reference replays every session against the merged map).
+        self._traj.transform_frozen(other_idx, R_i, t_i, s_i,
+                                    self.atlas.current)
         # Duplicate fusion in the welding window (SearchAndFuse, :2689):
         # transplanted landmarks re-observed by the current KF replace/bind.
         self.state = mapping.fuse_duplicates(
@@ -1030,9 +1035,14 @@ class MonoSlam:
         (Tracking.cc:3349-3378 + CreateMapInAtlas)."""
         self._drain_pending()
         # The active map's KF slots are about to be reused: replay its
-        # frame records once and store them absolute.
+        # frame records once and store them absolute. If the map survives
+        # in the Atlas (mature-map branch), tag the records with its index
+        # so a later merge-back re-coordinates them through the weld.
+        keep_map = self.n_kf >= 10
         self._traj.freeze_all(np.asarray(self.state.kfs.R),
-                              np.asarray(self.state.kfs.t))
+                              np.asarray(self.state.kfs.t),
+                              map_tag=(self.atlas.current if keep_map
+                                       else -1))
         self._ref_cache = None
         if self.n_kf < 10:
             self.atlas.reset_active_map()

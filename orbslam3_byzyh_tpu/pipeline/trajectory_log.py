@@ -35,6 +35,11 @@ class TrajectoryLog:
         self.refs: list[int] = []       # keyframe slot id; -1 = absolute
         self.R_cr: list[np.ndarray] = []
         self.t_cr: list[np.ndarray] = []
+        # Atlas-map tag per record: meaningful for FROZEN (ref=-1) records,
+        # which live in an abandoned map's world frame until that map is
+        # merged back (then transform_frozen re-coordinates them). Live
+        # records always reference the active map.
+        self.tags: list[int] = []
 
     def __len__(self) -> int:
         return len(self.stamps)
@@ -57,6 +62,7 @@ class TrajectoryLog:
         self.refs.append(int(ref_kf))
         self.R_cr.append(R)
         self.t_cr.append(t)
+        self.tags.append(-1)
 
     # ------------------------------------------------------------------
     def replay(self, kfs_R: np.ndarray, kfs_t: np.ndarray):
@@ -125,10 +131,39 @@ class TrajectoryLog:
                 self.t_cr[i] = np.float32(s) * self.t_cr[i]
 
     # ------------------------------------------------------------------
-    def freeze_all(self, kfs_R: np.ndarray, kfs_t: np.ndarray):
+    def freeze_all(self, kfs_R: np.ndarray, kfs_t: np.ndarray,
+                   map_tag: int = -1):
         """Replay every live record once and store it absolute — called
-        when the active map is abandoned (its KF slots will be reused)."""
+        when the active map is abandoned (its KF slots will be reused).
+        ``map_tag``: the atlas index the abandoned map keeps living at —
+        if it is later merged back, ``transform_frozen`` re-coordinates
+        these records through the welding Sim3."""
         for i, (s, R, t) in enumerate(self.replay(kfs_R, kfs_t)):
+            if self.refs[i] >= 0:
+                self.tags[i] = map_tag
             self.refs[i] = -1
             self.R_cr[i] = R
             self.t_cr[i] = t
+
+    # ------------------------------------------------------------------
+    def transform_frozen(self, map_tag: int, R_m: np.ndarray,
+                         t_m: np.ndarray, s_m: float, new_tag: int):
+        """The map at atlas index ``map_tag`` was welded into the active
+        map with x_active = s R_m x_other + t_m (Atlas.merge): move its
+        frozen records into active-world coordinates (pose transform
+        R' = R R_m^T, t' = s t - R' t_m — the same formula Atlas.merge
+        applies to the transplanted keyframes) and retag. Tags above the
+        deleted index shift down by one (Atlas.merge list deletion)."""
+        R_m = np.asarray(R_m, np.float32)
+        t_m = np.asarray(t_m, np.float32)
+        s = np.float32(s_m)
+        for i, tag in enumerate(self.tags):
+            if self.refs[i] >= 0:
+                continue
+            if tag == map_tag:
+                R = self.R_cr[i] @ R_m.T
+                self.R_cr[i] = R
+                self.t_cr[i] = s * self.t_cr[i] - R @ t_m
+                self.tags[i] = new_tag
+            elif tag > map_tag:
+                self.tags[i] = tag - 1

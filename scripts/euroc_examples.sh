@@ -16,8 +16,8 @@ voc="${2:-}"
 vocArg=""
 [ -n "$voc" ] && vocArg="--vocabulary $voc"
 here="$(cd "$(dirname "$0")" && pwd)"
-yaml_stereo="$here/configs/EuRoC_stereo.yaml"
-yaml_mono="$here/configs/EuRoC_mono.yaml"
+yaml_stereo="$here/../configs/EuRoC_stereo.yaml"
+yaml_mono="$here/../configs/EuRoC_mono.yaml"
 [ -f "$yaml_stereo" ] || yaml_stereo="/root/reference/Examples/Stereo/EuRoC.yaml"
 [ -f "$yaml_mono" ] || yaml_mono="/root/reference/Examples/Monocular-Inertial/EuRoC.yaml"
 

@@ -32,6 +32,6 @@ def test_soak_stereo_inertial(tmp_path):
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
     rep = json.loads(out.read_text())
     assert rep["imu_ready"]
-    assert rep["loops_closed"] >= 1
+    assert rep["loops_closed"] >= 1 or rep["merges_closed"] >= 1
     assert rep["kf_latency_flat"]
     assert rep["ate_rmse_m"] < 0.3

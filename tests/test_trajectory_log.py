@@ -125,3 +125,26 @@ def test_freeze_and_remap(rng):
     assert all(r == -1 for r in log.refs)
     out2 = log.replay(np.zeros((2, 3, 3)), np.zeros((2, 3)))
     np.testing.assert_allclose(out2[0][1], R, atol=1e-5)
+
+
+def test_transform_frozen_follows_weld(rng):
+    """Multi-session: frozen records of a banked map are re-coordinated by
+    the welding Sim3 exactly like Atlas.merge transforms its keyframes."""
+    log = TrajectoryLog()
+    kR, kt = rand_pose(rng)
+    R, t = rand_pose(rng)
+    log.log(0.0, R, t, 0, kR, kt)
+    log.freeze_all(kR[None], kt[None], map_tag=0)
+    assert log.tags[0] == 0 and log.refs[0] == -1
+    # Weld: x_active = s R_m x_other + t_m.
+    R_m, t_m = rand_pose(rng)
+    s = 1.07
+    log.transform_frozen(0, R_m, t_m, s, new_tag=0)
+    # A world point x_o on the old camera ray maps consistently: the
+    # transformed pose must satisfy x_cam' = R' (s R_m x_o + t_m) + t'
+    # = s * (R x_o + t)  (same camera ray, metrically rescaled).
+    x_o = rng.normal(size=3).astype(np.float32)
+    x_a = s * R_m @ x_o + t_m
+    lhs = log.R_cr[0] @ x_a + log.t_cr[0]
+    rhs = s * (R @ x_o + t)
+    np.testing.assert_allclose(lhs, rhs, atol=1e-4)
