@@ -178,9 +178,10 @@ def _gather_viba_visual(state, ids, loc, free_kf_mask,
 
 @jax.jit
 def _scatter_viba(state, res, ids, free_rows, lsel, lm_valid, o_valid,
-                  R_cb, t_cb):
-    """Device-side write-back of a VIBA result (free poses, window
-    landmarks, inlier gating) — replaces full-array np copies."""
+                  R_cb, t_cb, kf_vel, kf_bg, kf_ba):
+    """Device-side write-back of a VIBA result (free poses + velocity/bias
+    states, window landmarks, inlier gating) — replaces full-array np
+    copies and the per-KF host loop."""
     R_bw = jnp.swapaxes(res.R_wb, -1, -2)
     R_cw = jnp.einsum("ij,kjl->kil", R_cb, R_bw)
     t_cw = t_cb - jnp.einsum("kij,kj->ki", R_cw, res.p_w)
@@ -197,7 +198,10 @@ def _scatter_viba(state, res, ids, free_rows, lsel, lm_valid, o_valid,
     obs = state.obs._replace(
         valid=state.obs.valid.at[lm_tgt].set(
             state.obs.valid[lsel] & keep, mode="drop"))
-    return state._replace(kfs=kfs, lms=lms, obs=obs)
+    kf_vel = kf_vel.at[tgt].set(res.v_w, mode="drop")
+    kf_bg = kf_bg.at[tgt].set(res.bg, mode="drop")
+    kf_ba = kf_ba.at[tgt].set(res.ba, mode="drop")
+    return state._replace(kfs=kfs, lms=lms, obs=obs), kf_vel, kf_bg, kf_ba
 
 
 class MonoInertialSlam(MonoSlam):
@@ -238,9 +242,12 @@ class MonoInertialSlam(MonoSlam):
         # reads stamps every frame pre-init, and each device read through a
         # remote tunnel costs one RTT.
         self.kf_stamp = np.full(mk, np.nan, np.float64)
-        self.kf_vel = np.zeros((mk, 3), np.float32)
-        self.kf_bg = np.zeros((mk, 3), np.float32)
-        self.kf_ba = np.zeros((mk, 3), np.float32)
+        # Device-resident per-KF inertial states: writes/reads stay on the
+        # chip (the VIBA write-back and KF bookkeeping used to round-trip
+        # them through the host every keyframe).
+        self.kf_vel = jnp.zeros((mk, 3), jnp.float32)
+        self.kf_bg = jnp.zeros((mk, 3), jnp.float32)
+        self.kf_ba = jnp.zeros((mk, 3), jnp.float32)
         self.kf_prev = np.full(mk, -1, np.int32)   # temporal chain
         self.kf_preint = [None] * mk               # preint prev->this
         self.imu_ready = False
@@ -346,10 +353,11 @@ class MonoInertialSlam(MonoSlam):
                 self._trajectory_kf_stamp(prev), stamp,
                 self._bias, KF_STEPS)
         if self.imu_ready:
-            self.kf_vel[kf_id] = (np.asarray(self._body[2])
-                                  if self._body is not None else 0.0)
-            self.kf_bg[kf_id] = self._bias[:3]
-            self.kf_ba[kf_id] = self._bias[3:]
+            v = (self._body[2] if self._body is not None
+                 else jnp.zeros(3, jnp.float32))
+            self.kf_vel = self.kf_vel.at[kf_id].set(v)
+            self.kf_bg = self.kf_bg.at[kf_id].set(jnp.asarray(self._bias[:3]))
+            self.kf_ba = self.kf_ba.at[kf_id].set(jnp.asarray(self._bias[3:]))
         super()._create_keyframe(feats, track_res, stamp)
         self._imu_schedule(kf_id, stamp)
         # NOTE: the per-KF LocalInertialBA's correction to the newest pose
@@ -377,24 +385,21 @@ class MonoInertialSlam(MonoSlam):
         if self.n_kf < 8:
             return
         from . import mapping
-        frac, seen = mapping.redundancy_stats(self.state)
-        frac = np.asarray(frac)
-        seen = np.asarray(seen)
-        kf_valid = np.asarray(self.state.kfs.valid)
         stamps = self.kf_stamp     # host mirror (no device read)
         n = self.n_kf
-        # Chain successor lookup.
+        # Chain successor lookup (kf_prev is reset to -1 on cull, so a
+        # chained KF is live by construction).
         nxt = np.full(self.cfg.max_kf, -1, np.int32)
         for j in range(n):
             p = int(self.kf_prev[j])
-            if p >= 0 and kf_valid[j]:
+            if p >= 0:
                 nxt[p] = j
-        # The last few chain KFs feed frame tracking + the VIBA window head.
+        # Host-side eligibility (chain structure + recency + reintegration
+        # gap); the redundancy score reduces on-device to a 2-float read.
         recent = set(self._chain(kf_id)[-3:])
-        best, best_frac = -1, 0.9
+        eligible = np.zeros(self.cfg.max_kf, bool)
         for k in range(n):
-            if (not kf_valid[k] or k == self.map_first_kf or k in recent
-                    or seen[k] < 30 or frac[k] < best_frac):
+            if k == self.map_first_kf or k in recent:
                 continue
             p, nx = int(self.kf_prev[k]), int(nxt[k])
             if p < 0 or nx < 0:
@@ -402,11 +407,17 @@ class MonoInertialSlam(MonoSlam):
             if (np.isnan(stamps[nx]) or np.isnan(stamps[p])
                     or stamps[nx] - stamps[p] >= 3.0):  # LocalMapping.cc:1228
                 continue
-            best, best_frac = k, frac[k]
-        if best < 0:
+            eligible[k] = True
+        if not eligible.any():
+            return
+        out = np.asarray(mapping.cull_candidate(self.state,
+                                                jnp.asarray(eligible)))
+        best = int(out[0])
+        if out[1] < 0.9:
             return
         p, nx = int(self.kf_prev[best]), int(nxt[best])
-        bias_nx = np.concatenate([self.kf_bg[nx], self.kf_ba[nx]])
+        bias_nx = np.asarray(jnp.concatenate(
+            [self.kf_bg[nx], self.kf_ba[nx]]))   # one 6-float read per cull
         self.kf_preint[nx] = self._preintegrate(
             float(stamps[p]), float(stamps[nx]), bias_nx, KF_STEPS)
         self.kf_prev[nx] = p
@@ -432,9 +443,12 @@ class MonoInertialSlam(MonoSlam):
         mk = self.cfg.max_kf
         live = np.where(old2new >= 0)[0]
         new_ids = old2new[live]
-        for arr in (self.kf_vel, self.kf_bg, self.kf_ba):
-            arr[new_ids] = arr[live]
-            arr[len(live):] = 0.0
+        rows_new = jnp.asarray(new_ids)
+        rows_old = jnp.asarray(live)
+        for name in ("kf_vel", "kf_bg", "kf_ba"):
+            arr = getattr(self, name)
+            setattr(self, name,
+                    jnp.zeros_like(arr).at[rows_new].set(arr[rows_old]))
         stamps_new = np.full(mk, np.nan, np.float64)
         stamps_new[new_ids] = self.kf_stamp[live]
         self.kf_stamp = stamps_new
@@ -473,7 +487,7 @@ class MonoInertialSlam(MonoSlam):
                 np.asarray(self.state.kfs.R[kf_id]),
                 np.asarray(self.state.kfs.t[kf_id]), self.R_bc, self.t_bc)
             self._body = (jnp.asarray(Rb), jnp.asarray(pb),
-                          jnp.asarray(self.kf_vel[kf_id]))
+                          self.kf_vel[kf_id])
             self._last["R"] = self.state.kfs.R[kf_id]
             self._last["t"] = self.state.kfs.t[kf_id]
             self._refresh_ref_cache()
@@ -524,15 +538,15 @@ class MonoInertialSlam(MonoSlam):
             return
         R_gw = np.asarray(res.R_wg).T.astype(np.float32)
         self._rebase_gravity_scale(R_gw, s)
-        for k in ids:
-            if self.kf_vel[k] is not None:
-                self.kf_vel[k] = s * (R_gw @ self.kf_vel[k])
+        rows = jnp.asarray(np.asarray(ids))
+        self.kf_vel = self.kf_vel.at[rows].set(
+            s * self.kf_vel[rows] @ jnp.asarray(R_gw).T)
         if self._body is not None:
             Rb, pb = body_from_cam(np.asarray(self.state.kfs.R[kf_id]),
                                    np.asarray(self.state.kfs.t[kf_id]),
                                    self.R_bc, self.t_bc)
             self._body = (jnp.asarray(Rb), jnp.asarray(pb),
-                          jnp.asarray(self.kf_vel[kf_id]))
+                          self.kf_vel[kf_id])
         if self._last is not None:
             self._last["R"] = self.state.kfs.R[kf_id]
             self._last["t"] = self.state.kfs.t[kf_id]
@@ -592,10 +606,10 @@ class MonoInertialSlam(MonoSlam):
 
         # Velocities (old-world metric) -> new world axes.
         vel = np.asarray(res.vel) @ R_gw.T
-        for i, k in enumerate(ids):
-            self.kf_vel[k] = vel[i]
-            self.kf_bg[k] = np.asarray(res.bg)
-            self.kf_ba[k] = np.asarray(res.ba)
+        rows = jnp.asarray(np.asarray(ids))
+        self.kf_vel = self.kf_vel.at[rows].set(jnp.asarray(vel))
+        self.kf_bg = self.kf_bg.at[rows].set(res.bg)
+        self.kf_ba = self.kf_ba.at[rows].set(res.ba)
         self._bias = np.concatenate([np.asarray(res.bg), np.asarray(res.ba)])
 
         self.imu_ready = True
@@ -615,7 +629,7 @@ class MonoInertialSlam(MonoSlam):
                                np.asarray(self.state.kfs.t[kf_id]),
                                self.R_bc, self.t_bc)
         self._body = (jnp.asarray(Rb), jnp.asarray(pb),
-                      jnp.asarray(self.kf_vel[kf_id]))
+                      self.kf_vel[kf_id])
         # Tracking context must follow the rebase.
         if self._last is not None:
             self._last["R"] = self.state.kfs.R[kf_id]
@@ -692,8 +706,7 @@ class MonoInertialSlam(MonoSlam):
          lm_valid, lsel, obs_ur) = _gather_viba_visual(
             self.state, jnp.asarray(ids_arr), jnp.asarray(loc),
             jnp.asarray(free_kf_mask),
-            jnp.asarray(self.kf_vel), jnp.asarray(self.kf_bg),
-            jnp.asarray(self.kf_ba),
+            self.kf_vel, self.kf_bg, self.kf_ba,
             jnp.asarray(self.R_bc), jnp.asarray(self.t_bc),
             l_slots=l_slots, use_stereo=use_stereo)
 
@@ -718,19 +731,12 @@ class MonoInertialSlam(MonoSlam):
         """Write a VIBA result back: poses/landmarks/obs via one jitted
         scatter; the small per-KF inertial side arrays via one host read."""
         ids_arr, fixed = loc_info
-        self.state = _scatter_viba(
+        (self.state, self.kf_vel, self.kf_bg,
+         self.kf_ba) = _scatter_viba(
             self.state, res, jnp.asarray(ids_arr), jnp.asarray(~fixed),
             lsel, lm_valid, o_valid,
-            jnp.asarray(self.R_cb), jnp.asarray(self.t_cb))
-        # Velocities/biases: small (K, 3) reads.
-        v_w = np.asarray(res.v_w)
-        bg = np.asarray(res.bg)
-        ba = np.asarray(res.ba)
-        for i, k in enumerate(ids_arr):
-            if not fixed[i]:
-                self.kf_vel[k] = v_w[i]
-                self.kf_bg[k] = bg[i]
-                self.kf_ba[k] = ba[i]
+            jnp.asarray(self.R_cb), jnp.asarray(self.t_cb),
+            self.kf_vel, self.kf_bg, self.kf_ba)
 
     def _local_inertial_ba(self, kf_id: int):
         """LocalInertialBA: temporal window, last ``W_free`` free
@@ -892,7 +898,7 @@ class MonoInertialSlam(MonoSlam):
                                    np.asarray(self.state.kfs.t[self.last_kf_id]),
                                    self.R_bc, self.t_bc)
             self._body = (jnp.asarray(Rb), jnp.asarray(pb),
-                          jnp.asarray(self.kf_vel[self.last_kf_id]))
+                          self.kf_vel[self.last_kf_id])
         return (R_np, t_np)
 
     # ------------------------------------------------------------------

@@ -545,6 +545,21 @@ def cull_keyframes(state: ms.MapState, kf_id: jnp.ndarray,
 
 
 @jax.jit
+def cull_candidate(state: ms.MapState, eligible: jnp.ndarray,
+                   min_seen: int = 30):
+    """Best redundancy-cull candidate among ``eligible`` keyframes: one
+    2-float read [best_id, best_frac] instead of pulling the full
+    redundancy/validity arrays to the host per keyframe (the inertial
+    chain-aware culling's eligibility — chain gaps, recency — is computed
+    from host mirrors; the redundancy score lives here)."""
+    frac, seen = redundancy_stats(state)
+    score = jnp.where(eligible & state.kfs.valid & (seen >= min_seen),
+                      frac, -1.0)
+    best = jnp.argmax(score)
+    return jnp.stack([best.astype(jnp.float32), score[best]])
+
+
+@jax.jit
 def cull_landmarks(state: ms.MapState, current_kf: jnp.ndarray,
                    min_found_ratio: float = 0.25):
     """MapPointCulling (:451): kill landmarks with poor found/visible ratio

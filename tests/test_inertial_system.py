@@ -121,9 +121,7 @@ class TestScaleRefinement:
             lms=lms._replace(pos=s_err * lms.pos,
                              min_dist=s_err * lms.min_dist,
                              max_dist=s_err * lms.max_dist))
-        for k in range(slam.n_kf):
-            if slam.kf_vel[k] is not None:
-                slam.kf_vel[k] = s_err * slam.kf_vel[k]
+        slam.kf_vel = s_err * slam.kf_vel
 
         slam._scale_refinement(kf_id)
 
