@@ -202,14 +202,26 @@ def vi_bundle_adjust(p: VIBAProblem, model_id: int = cam.PINHOLE,
         delta2 = jnp.where(p.obs_ur >= 0.0, lm.CHI2_STEREO, lm.CHI2_MONO)
     n_kf = p.R_wb.shape[0]
 
-    def build_and_step(state, inlier, robust, lam):
+    def build_sys(state, inlier, robust):
+        """Linearize both factor families at ``state``; returns everything
+        the step needs plus the total cost (one build serves BOTH the
+        acceptance test and the next linearization — the g2o-style LM
+        bookkeeping solver/ba.py also uses)."""
         R_wb, p_w, v_w, bg, ba_, points = state
         vis = _visual_system(p, R_wb, p_w, points, inlier, robust, delta2,
                              model_id)
+        inr = _inertial_blocks(p, R_wb, p_w, v_w, bg, ba_)
+        prior_cost = (p.prior_bias_w[0] * jnp.sum(bg[0] ** 2)
+                      + p.prior_bias_w[1] * jnp.sum(ba_[0] ** 2))
+        total = vis["cost"] + inr[5] + prior_cost
+        return dict(vis=vis, inr=inr, cost=total)
+
+    def step_from(sys_cur, state, lam):
+        vis = sys_cur["vis"]
         # Visual Schur pieces (6-dof blocks).
         pieces = ba.schur_pieces(p.obs_kf, vis, lam, n_kf)
-        Hii, Hjj, Hij, bi, bj, in_cost = _inertial_blocks(
-            p, R_wb, p_w, v_w, bg, ba_)
+        Hii, Hjj, Hij, bi, bj, _ = sys_cur["inr"]
+        R_wb, p_w, v_w, bg, ba_, points = state
 
         # Assemble 15-dof system.
         S = jnp.zeros((n_kf, n_kf, 15, 15), jnp.float32)
@@ -260,35 +272,30 @@ def vi_bundle_adjust(p: VIBAProblem, model_id: int = cam.PINHOLE,
         bg_new = jnp.where(keepf[:, None], bg, bg + dx[:, 9:12])
         ba_new = jnp.where(keepf[:, None], ba_, ba_ + dx[:, 12:15])
         cand = (R_new, p_new, v_new, bg_new, ba_new, points + dl)
-        return cand, vis["cost"] + in_cost
-
-    def total_cost(state, inlier, robust):
-        R_wb, p_w, v_w, bg, ba_, points = state
-        vis = _visual_system(p, R_wb, p_w, points, inlier, robust, delta2,
-                             model_id)
-        _, _, _, _, _, in_cost = _inertial_blocks(p, R_wb, p_w, v_w, bg, ba_)
-        prior_cost = (p.prior_bias_w[0] * jnp.sum(bg[0] ** 2)
-                      + p.prior_bias_w[1] * jnp.sum(ba_[0] ** 2))
-        return vis["cost"] + in_cost + prior_cost
+        return cand
 
     state = (p.R_wb, p.p_w, p.v_w, p.bg, p.ba, p.points)
     inlier = jnp.ones_like(p.obs_valid)
 
     for si, n_iters in enumerate(stages):
         robust = si < len(stages) - 1
-        cost = total_cost(state, inlier, robust)
+        sys_cur = build_sys(state, inlier, robust)
         lam = jnp.asarray(1e-4, jnp.float32)
 
         def body(_, st, inl=inlier, rob=robust):
-            s_, lam_, cost_ = st
-            cand, _ = build_and_step(s_, inl, rob, lam_)
-            c_new = total_cost(cand, inl, rob)
-            acc = c_new < cost_
+            s_, sys_, lam_ = st
+            # One linearization per iteration: the candidate's system is
+            # reused when accepted (same LM bookkeeping as solver/ba.py).
+            cand = step_from(sys_, s_, lam_)
+            sys_cand = build_sys(cand, inl, rob)
+            acc = sys_cand["cost"] < sys_["cost"]
             s_ = jax.tree.map(lambda a, b_: jnp.where(acc, b_, a), s_, cand)
-            return (s_, jnp.where(acc, lam_ * 0.5, lam_ * 10.0),
-                    jnp.where(acc, c_new, cost_))
+            sys_ = jax.tree.map(lambda a, b_: jnp.where(acc, b_, a),
+                                sys_, sys_cand)
+            return (s_, sys_, jnp.where(acc, lam_ * 0.5, lam_ * 10.0))
 
-        state, _, _ = jax.lax.fori_loop(0, n_iters, body, (state, lam, cost))
+        state, _, _ = jax.lax.fori_loop(0, n_iters, body,
+                                        (state, sys_cur, lam))
 
         # Re-gate visual outliers.
         R_wb, p_w, v_w, bg, ba_, points = state
