@@ -283,6 +283,7 @@ class MonoInertialSlam(MonoSlam):
     def track(self, img: np.ndarray, stamp: float, imu_data=None):
         """Process one frame + its IMU batch (samples in (t_prev, t])."""
         stamp = self._rel_stamp(stamp)
+        self._kf_host_pending = False
         if self._check_timestamp_jump(stamp):
             return None
         if imu_data is not None and len(imu_data[0]) > 0:
@@ -503,15 +504,35 @@ class MonoInertialSlam(MonoSlam):
         if self.viba_stage == 1 and span > 5.0:
             self._full_inertial_ba(kf_id, prior_g=1.0, prior_a=1e5)
             self.viba_stage = 2
+            self._refresh_inertial_context(kf_id)
         elif self.viba_stage == 2 and span > 15.0:
             self._full_inertial_ba(kf_id, prior_g=0.0, prior_a=0.0)
             self.viba_stage = 3
+            self._refresh_inertial_context(kf_id)
         elif (self.viba_stage >= 3 and not self.imu_fix_scale
                 and span > self._next_scale_refine):
             # Monocular scale drift check at 25/35/... s
             # (ScaleRefinement, LocalMapping.cc:1846 + :298-308).
             self._scale_refinement(kf_id)
             self._next_scale_refine += 10.0
+
+    def _refresh_inertial_context(self, kf_id: int):
+        """Re-seed the frame tracking context from the newest keyframe
+        after a full VI-BA moved the map (Tracking::UpdateFrameIMU
+        semantics): body state, matching template pose, reference-pose
+        cache, and the marginalization prior (its linearization point
+        moved). Without this, VIBA1/2 left the tracker predicting from
+        pre-BA coordinates."""
+        Rb, pb = body_from_cam(np.asarray(self.state.kfs.R[kf_id]),
+                               np.asarray(self.state.kfs.t[kf_id]),
+                               self.R_bc, self.t_bc)
+        self._body = (jnp.asarray(Rb), jnp.asarray(pb), self.kf_vel[kf_id])
+        if self._last is not None:
+            self._last["R"] = self.state.kfs.R[kf_id]
+            self._last["t"] = self.state.kfs.t[kf_id]
+        self._vel = None
+        self._pose_prior_H = None
+        self._refresh_ref_cache()
 
     def _scale_refinement(self, kf_id: int):
         """Scale+gravity-only inertial re-fit (InertialOptimization scale

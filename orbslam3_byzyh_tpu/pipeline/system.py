@@ -224,6 +224,7 @@ class MonoSlam:
     def track(self, img: np.ndarray, stamp: float):
         """Process one frame; returns Tcw (R, t) or None while initializing."""
         stamp = self._rel_stamp(stamp)
+        self._kf_host_pending = False
         if self._check_timestamp_jump(stamp):
             return None
         if (self.cfg.chessboard is not None and self._chess_pose is None
@@ -254,9 +255,22 @@ class MonoSlam:
                                  np.asarray(self.state.kfs.t))
 
     def _log_frame(self, stamp: float, pose):
-        """Record one tracked frame relative to its reference keyframe."""
+        """Record one tracked frame relative to its reference keyframe.
+
+        A frame that HOSTS a new keyframe is logged as that keyframe with
+        an exact identity relative pose (its solved pose IS the keyframe's
+        creation pose), so replay follows every later correction — BA,
+        gravity/scale rebase, loop closure — with no residual. Logging it
+        against ``_ref_cache`` instead is wrong whenever the keyframe work
+        already refreshed the cache (IMU init / VIBA / scale refinement
+        rebase the world between the pose solve and this call): the stale
+        solved pose composed with the rebased reference produced a
+        meter-scale one-frame outlier in the saved trajectory."""
         R_cw, t_cw = np.asarray(pose[0]), np.asarray(pose[1])
-        if self._ref_cache is None:
+        if getattr(self, "_kf_host_pending", False) and self.last_kf_id >= 0:
+            self._kf_host_pending = False
+            self._traj.log(stamp, R_cw, t_cw, self.last_kf_id, R_cw, t_cw)
+        elif self._ref_cache is None:
             self._traj.log(stamp, R_cw, t_cw, -1)
         else:
             ref, R_rw, t_rw = self._ref_cache
@@ -717,6 +731,9 @@ class MonoSlam:
             self.loop_closer.add_keyframe(self.state, kf_id)  # no host sync
         self._pending_kf = dict(kf_id=kf_id, info=info, culled=culled,
                                 valid_before=valid_before)
+        # The hosting frame's trajectory record is this KF + identity
+        # (consumed by _log_frame in the same track() call).
+        self._kf_host_pending = True
 
     def _drain_pending(self):
         """Settle the deferred outputs of the last keyframe bundle: parent

@@ -93,6 +93,28 @@ class TestMonoInertial:
         z_err = np.degrees(np.arccos(np.clip(R[2, 2], -1, 1)))
         assert z_err < 10.0, f"gravity direction off by {z_err:.1f} deg"
 
+    def test_no_single_frame_outlier(self, vi_run):
+        """The saved trajectory must be free of one-frame pose spikes.
+
+        Regression: the frame hosting the IMU-init keyframe used to be
+        logged with its pre-rebase pose against the post-rebase reference
+        cache (gravity/scale rebase runs between the pose solve and the
+        log), leaving one meter-scale bogus pose in an otherwise smooth
+        trajectory. KF-host frames now log ref=their own KF + identity."""
+        slam, world, _ = vi_run
+        stamps = np.array([s for s, _, _ in slam.trajectory])
+        Rs = np.stack([R for _, R, _ in slam.trajectory])
+        ts = np.stack([t for _, _, t in slam.trajectory])
+        centers = evaluate.camera_centers(Rs, ts)
+        gt_centers = np.stack([world.trajectory(float(t))[0]
+                               for t in stamps])
+        s, R, t, _ = evaluate.horn_align(centers, gt_centers,
+                                         with_scale=True)
+        err = np.linalg.norm(s * centers @ R.T + t - gt_centers, axis=-1)
+        p90 = np.quantile(err, 0.90)
+        assert err.max() < max(4.0 * p90, 0.15), (
+            f"single-frame outlier: max {err.max():.3f} vs p90 {p90:.3f}")
+
     def test_velocity_estimate(self, vi_run):
         slam, world, _ = vi_run
         assert slam._body is not None
