@@ -346,6 +346,12 @@ class MonoInertialSlam(MonoSlam):
         prev = self.last_kf_id
         kf_id = self.n_kf
         self.kf_stamp[kf_id] = stamp
+        # A cross-map reloc re-entered an old map whose chain bookkeeping
+        # did not survive the switch-away: this KF roots a FRESH chain.
+        if getattr(self, "_fresh_chain", False):
+            self._fresh_chain = False
+            prev = -1
+            self.map_first_kf = kf_id
         # Inertial bookkeeping FIRST: the local refine inside the parent's
         # keyframe work consumes this KF's preintegration + velocity.
         self.kf_prev[kf_id] = prev
@@ -382,7 +388,14 @@ class MonoInertialSlam(MonoSlam):
         raw samples, the merge is an exact re-integration over
         (t_prev, t_next] at the successor's linearization bias — the
         reference's ``Reintegrate`` semantics rather than its first-order
-        merge approximation."""
+        merge approximation.
+
+        The redundancy score is DISPATCHED here but read (and the cull
+        applied) lazily at the next keyframe's drain: reading it now would
+        block the host on the whole per-KF device queue (bundle + VIBA +
+        culls) — that one sync was the measured 64 ms "kf_culling" stage of
+        the round-4 profile. The one-KF lag matches the reference, whose
+        culling runs in the LocalMapping thread asynchronously anyway."""
         if self.n_kf < 8:
             return
         from . import mapping
@@ -411,12 +424,46 @@ class MonoInertialSlam(MonoSlam):
             eligible[k] = True
         if not eligible.any():
             return
-        out = np.asarray(mapping.cull_candidate(self.state,
-                                                jnp.asarray(eligible)))
+        self._pending_cull = mapping.cull_candidate(self.state,
+                                                    jnp.asarray(eligible))
+
+    def _apply_pending_cull(self):
+        """Consume the lazily-read cull decision (one 2-float read, a full
+        KF interval after dispatch). Eligibility is re-validated against
+        the CURRENT chain before applying."""
+        pend = getattr(self, "_pending_cull", None)
+        if pend is None:
+            return
+        self._pending_cull = None
+        out = np.asarray(pend)
         best = int(out[0])
         if out[1] < 0.9:
             return
-        p, nx = int(self.kf_prev[best]), int(nxt[best])
+        if best == self.map_first_kf or int(self.kf_prev[best]) < 0:
+            return
+        if not bool(self.state.kfs.valid[best]):
+            return
+        nx = -1
+        for j in range(self.n_kf):
+            if int(self.kf_prev[j]) == best:
+                nx = j
+                break
+        if nx < 0 or best in self._chain(self.last_kf_id)[-3:]:
+            return
+        self._cull_chain_keyframe(best, nx)
+
+    def _drain_pending(self):
+        super()._drain_pending()
+        self._apply_pending_cull()
+
+    def _cull_chain_keyframe(self, best: int, nx: int):
+        """Drop chain keyframe ``best``: exact re-integration of the
+        successor's preintegration across the gap (MergePrevious /
+        Reintegrate semantics, /root/reference/src/ImuTypes.cc:330), chain
+        relink, spanning-tree and trajectory-record reattachment."""
+        from . import mapping
+        stamps = self.kf_stamp
+        p = int(self.kf_prev[best])
         bias_nx = np.asarray(jnp.concatenate(
             [self.kf_bg[nx], self.kf_ba[nx]]))   # one 6-float read per cull
         self.kf_preint[nx] = self._preintegrate(
@@ -438,6 +485,45 @@ class MonoInertialSlam(MonoSlam):
             self._traj.rebase(dead, parent_of,
                               np.asarray(self.state.kfs.R),
                               np.asarray(self.state.kfs.t))
+
+    def _force_cull_keyframes(self, n: int) -> int:
+        """Chain-aware capacity overflow valve: redundancy-ranked culls
+        with the preintegration merged across the gap; the 3 s chain gap of
+        the steady-state cull is relaxed to 10 s (the ImuBuffer keeps raw
+        samples, so the re-integration stays exact; make_steps subsamples
+        past KF_STEPS)."""
+        count = 0
+        for _ in range(n):
+            nk = self.n_kf
+            stamps = self.kf_stamp
+            nxt = np.full(self.cfg.max_kf, -1, np.int32)
+            for j in range(nk):
+                p = int(self.kf_prev[j])
+                if p >= 0:
+                    nxt[p] = j
+            live = np.where(np.asarray(self.state.kfs.valid))[0]
+            recent = set(live[-8:].tolist())
+            eligible = np.zeros(self.cfg.max_kf, bool)
+            for k in range(nk):
+                if k == self.map_first_kf or k == 0 or k in recent:
+                    continue
+                p, nx = int(self.kf_prev[k]), int(nxt[k])
+                if p < 0 or nx < 0:
+                    continue
+                if (np.isnan(stamps[nx]) or np.isnan(stamps[p])
+                        or stamps[nx] - stamps[p] >= 10.0):
+                    continue
+                eligible[k] = True
+            if not eligible.any():
+                break
+            out = np.asarray(mapping.cull_candidate(
+                self.state, jnp.asarray(eligible), min_seen=0))
+            best = int(out[0])
+            if out[1] < 0 or not eligible[best]:
+                break
+            self._cull_chain_keyframe(best, int(nxt[best]))
+            count += 1
+        return count
 
     def _on_keyframes_compacted(self, old2new: np.ndarray):
         """Remap the inertial per-KF side arrays after slot compaction."""
@@ -527,6 +613,11 @@ class MonoInertialSlam(MonoSlam):
                                np.asarray(self.state.kfs.t[kf_id]),
                                self.R_bc, self.t_bc)
         self._body = (jnp.asarray(Rb), jnp.asarray(pb), self.kf_vel[kf_id])
+        # Adopt the VIBA-refined keyframe bias for frame preintegration
+        # (Tracking::UpdateFrameIMU -> SetNewBias); without this the frames
+        # until the next KF keep linearizing at the pre-VIBA bias.
+        self._bias = np.concatenate([np.asarray(self.kf_bg[kf_id]),
+                                     np.asarray(self.kf_ba[kf_id])])
         if self._last is not None:
             self._last["R"] = self.state.kfs.R[kf_id]
             self._last["t"] = self.state.kfs.t[kf_id]
@@ -658,9 +749,31 @@ class MonoInertialSlam(MonoSlam):
         self._vel = None
         self._refresh_ref_cache()
 
+    def _on_map_corrected(self, kf_id: int):
+        """After a loop/GBA correction the body state must follow the
+        corrected camera pose (the reference's CorrectLoop updates the
+        current keyframe's velocity through the Sim3 too,
+        LoopClosing.cc:1273+): rebuild (R_wb, p_w) from the corrected
+        last-frame pose and rotate the world-frame velocity by the anchor's
+        world correction."""
+        super()._on_map_corrected(kf_id)
+        if (self.imu_ready and self.last_kf_id == kf_id
+                and self._last is not None and self._body is not None):
+            Rb, pb = body_from_cam(np.asarray(self._last["R"]),
+                                   np.asarray(self._last["t"]),
+                                   self.R_bc, self.t_bc)
+            v = self._body[2]
+            if self._corr_Rw is not None:
+                v = jnp.asarray(self._corr_Rw) @ v
+            self._body = (jnp.asarray(Rb), jnp.asarray(pb), v)
+            # The prior's linearization point moved with the correction.
+            self._pose_prior_H = None
+
     def _rebase_gravity_scale(self, R_gw: np.ndarray, s: float):
         """x' = s * R_gw @ x on landmarks; camera poses follow
         (R_cw' = R_cw R_gw^T, t_cw' = s t_cw)."""
+        # A Sim3 world change invalidates any background-GBA snapshot.
+        self._gba_abort()
         kfs, lms = self.state.kfs, self.state.lms
         R_wg = jnp.asarray(R_gw.T)
         R_new = jnp.einsum("kij,jl->kil", kfs.R, R_wg)
@@ -870,11 +983,28 @@ class MonoInertialSlam(MonoSlam):
         lms2 = self.state.lms
         lms2 = lms2._replace(n_found=lms2.n_found + add,
                              n_visible=lms2.n_visible + add)
-        info = jnp.concatenate([
-            pr.n_inliers[None].astype(jnp.float32), Rc_d.reshape(-1), tc_d,
-            pr.bg, pr.ba])
+        # Reference-KF tracked-point count for the c2 ratio — computed
+        # device-side so the KF decision needs no second host round-trip.
+        ref_matches = ((self.state.obs.kf == self.last_kf_id)
+                       & self.state.obs.valid).sum()
+        parts = [pr.n_inliers[None].astype(jnp.float32),
+                 ref_matches[None].astype(jnp.float32), Rc_d.reshape(-1),
+                 tc_d, pr.bg, pr.ba]
+        if self._depth is not None:
+            # Stereo c1c close-point counters (Tracking.cc:4440-4461).
+            close = ((self._depth > 0)
+                     & (self._depth < getattr(self.cfg, "depth_threshold",
+                                              np.inf))
+                     & feats.valid)
+            tracked_kp = bindings >= 0
+            parts.append((close & tracked_kp).sum()[None].astype(jnp.float32))
+            parts.append((close & ~tracked_kp).sum()[None].astype(jnp.float32))
+        info = jnp.concatenate(parts)
         info_np = np.asarray(info)           # the one per-frame device sync
         n_inliers = int(info_np[0])
+        ref_matches_i = max(int(info_np[1]), 1)
+        self._close_counts = ((int(info_np[20]), int(info_np[21]))
+                              if self._depth is not None else (0, 0))
 
         if n_inliers < 15:
             # RECENTLY_LOST: IMU dead-reckoning grace (Tracking.cc:2925).
@@ -895,18 +1025,19 @@ class MonoInertialSlam(MonoSlam):
         self.status = OK
         self.lost_frames = 0
         self._body = (pr.R, pr.p, pr.v)
-        self._bias = np.concatenate([info_np[13:16], info_np[16:19]])
+        self._bias = np.concatenate([info_np[14:17], info_np[17:20]])
         # Carry the marginal of this solve as the next frame's prior.
         self._pose_prior_H = pr.H_marg
-        R_np = info_np[1:10].reshape(3, 3).astype(np.float32)
-        t_np = info_np[10:13].astype(np.float32)
+        R_np = info_np[2:11].reshape(3, 3).astype(np.float32)
+        t_np = info_np[11:14].astype(np.float32)
 
         self.state = self.state._replace(lms=lms2)
 
         self._last = dict(feats=feats, bindings=bindings, R=R_np, t=t_np,
                           stamp=stamp)
         self.frames_since_kf += 1
-        if not self.localization_only and self._need_new_keyframe(n_inliers):
+        if not self.localization_only and self._need_new_keyframe(
+                n_inliers, ref_matches_i):
             tr = tracking.TrackResult(R=jnp.asarray(R_np),
                                       t=jnp.asarray(t_np),
                                       bindings=bindings,
@@ -923,8 +1054,7 @@ class MonoInertialSlam(MonoSlam):
         return (R_np, t_np)
 
     # ------------------------------------------------------------------
-    def _handle_lost(self, feats, stamp):
-        super()._handle_lost(feats, stamp)
+    def _reset_inertial_machinery(self):
         self.imu_ready = False
         self.viba_stage = 0
         self._next_scale_refine = 25.0
@@ -934,3 +1064,18 @@ class MonoInertialSlam(MonoSlam):
         self.kf_prev[:] = -1
         self.kf_preint = [None] * self.cfg.max_kf
         self.kf_stamp[:] = np.nan
+
+    def _on_cross_map_reloc(self, cand: int):
+        """Cross-map reloc re-entered an old map. Its inertial chain
+        bookkeeping (kf_prev/preint/vel) is per-engine state that was
+        cleared when the map was switched away, so the IMU machinery
+        restarts: a fresh chain roots at the next keyframe and VI init
+        re-runs. (The reference keeps per-map IMU flags and never re-enters
+        a map through reloc — documented deviation of the array-state
+        Atlas.)"""
+        self._reset_inertial_machinery()
+        self._fresh_chain = True
+
+    def _handle_lost(self, feats, stamp):
+        super()._handle_lost(feats, stamp)
+        self._reset_inertial_machinery()

@@ -39,6 +39,7 @@ class StereoInertialSlam(MonoInertialSlam, StereoSlam):
     def track(self, img_left: np.ndarray, img_right: np.ndarray,
               stamp: float, imu_data=None):
         stamp = self._rel_stamp(stamp)
+        self._kf_host_pending = False
         if self._check_timestamp_jump(stamp):
             return None
         if imu_data is not None and len(imu_data[0]) > 0:
@@ -46,16 +47,18 @@ class StereoInertialSlam(MonoInertialSlam, StereoSlam):
                             imu_data[1], imu_data[2])
         self._cur_stamp = stamp
 
-        feats = self._extract(img_left)
-        feats_r = self._extract(img_right)
-        m = stereo_ops.stereo_match(
-            feats.xy, feats.level, feats.desc, feats.valid,
-            feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
-            jnp.asarray(img_left, jnp.float32),
-            jnp.asarray(img_right, jnp.float32),
-            jnp.asarray(self.cfg.bf, jnp.float32), self.cfg.min_z)
-        self._depth = jnp.where(m.valid, m.depth, -1.0)
-        self._ur = jnp.where(m.valid, m.u_right, -1.0)
+        with self._stage("orb_extract"):
+            feats = self._extract(img_left)
+            feats_r = self._extract(img_right)
+        with self._stage("stereo_match"):
+            m = stereo_ops.stereo_match(
+                feats.xy, feats.level, feats.desc, feats.valid,
+                feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
+                jnp.asarray(img_left, jnp.float32),
+                jnp.asarray(img_right, jnp.float32),
+                jnp.asarray(self.cfg.bf, jnp.float32), self.cfg.min_z)
+            self._depth = jnp.where(m.valid, m.depth, -1.0)
+            self._ur = jnp.where(m.valid, m.u_right, -1.0)
 
         if self.status == base.NOT_INITIALIZED:
             pose = self._stereo_initialize(feats, stamp)
@@ -90,6 +93,7 @@ class FisheyeStereoInertialSlam(MonoInertialSlam, FisheyeStereoSlam):
     def track(self, img_left: np.ndarray, img_right: np.ndarray,
               stamp: float, imu_data=None):
         stamp = self._rel_stamp(stamp)
+        self._kf_host_pending = False
         if self._check_timestamp_jump(stamp):
             return None
         if imu_data is not None and len(imu_data[0]) > 0:
@@ -97,15 +101,17 @@ class FisheyeStereoInertialSlam(MonoInertialSlam, FisheyeStereoSlam):
                             imu_data[1], imu_data[2])
         self._cur_stamp = stamp
 
-        feats = self._extract(img_left)
-        feats_r = self._extract(
-            img_right, cam_params=self._cam2,
-            kb8=self.cfg.kb8_2, dist=self.cfg.dist2)
-        m = stereo_ops.fisheye_stereo_match(
-            feats.xy, feats.level, feats.desc, feats.valid,
-            feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
-            self.cam_params, self._cam2, self._R_rl, self._t_rl)
-        self._depth = jnp.where(m.valid, m.depth, -1.0)
+        with self._stage("orb_extract"):
+            feats = self._extract(img_left)
+            feats_r = self._extract(
+                img_right, cam_params=self._cam2,
+                kb8=self.cfg.kb8_2, dist=self.cfg.dist2)
+        with self._stage("stereo_match"):
+            m = stereo_ops.fisheye_stereo_match(
+                feats.xy, feats.level, feats.desc, feats.valid,
+                feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
+                self.cam_params, self._cam2, self._R_rl, self._t_rl)
+            self._depth = jnp.where(m.valid, m.depth, -1.0)
 
         if self.status == base.NOT_INITIALIZED:
             pose = self._stereo_initialize(feats, stamp)

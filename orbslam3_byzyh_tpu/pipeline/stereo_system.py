@@ -56,6 +56,7 @@ class StereoSlam(base.MonoSlam):
     def track(self, img_left: np.ndarray, img_right: np.ndarray,
               stamp: float):
         stamp = self._rel_stamp(stamp)
+        self._kf_host_pending = False
         if self._check_timestamp_jump(stamp):
             return None
         with self._stage("orb_extract"):
@@ -80,20 +81,44 @@ class StereoSlam(base.MonoSlam):
 
     # ------------------------------------------------------------------
     def _track_local_map(self, res, feats):
-        """Mixed mono/stereo-residual pose optimization: keypoints with a
-        right-image match add the u_r = u - bf/z constraint
-        (EdgeStereoSE3ProjectXYZOnlyPose, chi2 gate 7.815)."""
+        """Mixed mono/stereo-residual pose optimization against the bounded
+        local window: keypoints with a right-image match add the
+        u_r = u - bf/z constraint (EdgeStereoSE3ProjectXYZOnlyPose, chi2
+        gate 7.815)."""
         if self._ur is None:
             return super()._track_local_map(res, feats)
         from . import tracking
         lms = self.state.lms
-        return tracking.track_local_map_stereo(
+        return tracking.track_local_map_windowed(
             res.R, res.t, res.bindings,
             lms.pos, lms.desc, lms.normal, lms.min_dist, lms.max_dist,
-            lms.valid,
+            lms.valid, self.state.obs.kf, self.state.obs.valid,
+            jnp.asarray(self.n_kf, jnp.int32),
             feats.xy, feats.level, feats.desc, feats.valid,
             self._ur, jnp.asarray(self.cfg.bf, jnp.float32),
-            self.cam_params, self.cfg.width, self.cfg.height)
+            self.cam_params, self.cfg.width, self.cfg.height,
+            use_stereo=True, **self._local_window_kwargs())
+
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, n_inliers: int,
+                           ref_matches: int | None = None) -> bool:
+        """Stereo/RGB-D NeedNewKeyFrame rules
+        (/root/reference/src/Tracking.cc:4440-4514): the close-point
+        deficit c1c (tracked-close < 100 while > 70 close points are
+        creatable forces a KF even mid-interval) and the stereo reference
+        ratio thRefRatio = 0.75 (vs the mono 0.9)."""
+        if not self._kf_slot_available():
+            return False
+        if ref_matches is None:
+            ref_matches = self._ref_kf_matches()
+        n_tracked_close, n_untracked_close = self._close_counts
+        need_close = (n_tracked_close < 100) and (n_untracked_close > 70)
+        c1a = self.frames_since_kf >= self.max_frames
+        c1b = self.frames_since_kf >= self.cfg.min_frames
+        c1c = (n_inliers < ref_matches * 0.25) or need_close
+        c2 = ((n_inliers < ref_matches * 0.75) or need_close) \
+            and n_inliers > 15
+        return (c1a or (c1b and c2) or c1c) and c2
 
     # ------------------------------------------------------------------
     def _track_with_depth(self, feats, stamp):
@@ -224,6 +249,7 @@ class FisheyeStereoSlam(StereoSlam):
     def track(self, img_left: np.ndarray, img_right: np.ndarray,
               stamp: float):
         stamp = self._rel_stamp(stamp)
+        self._kf_host_pending = False
         if self._check_timestamp_jump(stamp):
             return None
         with self._stage("orb_extract"):
@@ -256,6 +282,7 @@ class RgbdSlam(StereoSlam):
 
     def track(self, img: np.ndarray, depth_img: np.ndarray, stamp: float):
         stamp = self._rel_stamp(stamp)
+        self._kf_host_pending = False
         if self._check_timestamp_jump(stamp):
             return None
         feats = self._extract(img)

@@ -54,8 +54,21 @@ class SlamConfig:
     local_window: int = 8                  # covisible neighbours free in local BA
     ba_window: int = 32                    # total KFs (free + fixed) in local BA
     ba_lm_window: int = 4096               # landmark rows gathered for local BA
+    # Bounded per-frame local map (UpdateLocalKeyFrames/Points parity,
+    # Tracking.cc:4851-4895): tracking matches against the landmarks of the
+    # top `local_kf_window` covisible KFs (+ the `recent_kf_window` newest),
+    # truncated at `local_lm_window` rows — O(window) per frame, not O(map).
+    local_kf_window: int = 20
+    local_lm_window: int = 4096
+    recent_kf_window: int = 4
     min_init_matches: int = 100            # two-view init gate (Tracking.cc:3620)
     triangulation_neighbors: int = 3
+    # Time-sliced background global BA after loop corrections (the
+    # reference's detached RunGlobalBundleAdjustment thread,
+    # LoopClosing.cc:2869): one LM iteration per tracked frame against a
+    # map snapshot, merged back through the spanning tree when done.
+    # False = solve inline (blocks the frame loop for the whole solve).
+    background_gba: bool = True
     vocabulary: Optional[object] = None    # ops.bow.Vocabulary for reloc/loops
     use_loop_closing: bool = True
     # Device mesh for the distributed solvers (parallel/dist_ba): None =
@@ -109,6 +122,7 @@ class MonoSlam:
         # Last-frame tracking context.
         self._last = None           # dict(feats, bindings, R, t, stamp)
         self._ur = None             # (N,) right-u per keypoint (stereo/RGBD)
+        self._depth = None          # (N,) per-keypoint depth (stereo/RGBD)
         self._vel = None            # (R_v, t_v): T_cur = vel * T_last
         self.frames_since_kf = 0
         self.last_kf_id = -1
@@ -124,10 +138,21 @@ class MonoSlam:
         # refreshed whenever the map moves it (KF creation, loop closure,
         # rebase, compaction) — avoids a device read per tracked frame.
         self._ref_cache = None
+        # Bumped by every _refresh_ref_cache: _drain_pending only restores
+        # its bundle-time pose if no VIBA/rebase refreshed the cache since
+        # the bundle dispatch (a stale restore would log frames against a
+        # pre-rebase reference pose).
+        self._ref_cache_gen = 0
         # Deferred outputs of the last keyframe_bundle dispatch (drained at
         # the next KF / before any state-sensitive host operation).
         self._pending_kf = None
+        # Time-sliced background global BA (pipeline/background_gba.py).
+        self._bg_gba = None
+        self._corr_Rw = None
         self._t0 = None
+        # (n_tracked_close, n_untracked_close) of the latest frame — the
+        # stereo/RGB-D c1c keyframe rule inputs (Tracking.cc:4440-4461).
+        self._close_counts = (0, 0)
         self.rng_key = jax.random.PRNGKey(0)
         # Per-stage timers (REGISTER_TIMES parity, SURVEY §5): None = off.
         # Enable with enable_stage_timers(); runners save ExecTimeMean.txt.
@@ -251,6 +276,7 @@ class MonoSlam:
         keyframe poses so map corrections apply retroactively (the
         reference's save-time relative-pose replay)."""
         self._drain_pending()
+        self._gba_flush()
         return self._traj.replay(np.asarray(self.state.kfs.R),
                                  np.asarray(self.state.kfs.t))
 
@@ -275,9 +301,12 @@ class MonoSlam:
         else:
             ref, R_rw, t_rw = self._ref_cache
             self._traj.log(stamp, R_cw, t_cw, ref, R_rw, t_rw)
+        # One bounded slice of any in-flight background global BA.
+        self._gba_tick()
 
     def _refresh_ref_cache(self):
         """Re-read the reference KF's pose after anything that moved it."""
+        self._ref_cache_gen += 1
         k = self.last_kf_id
         if k < 0:
             self._ref_cache = None
@@ -289,6 +318,14 @@ class MonoSlam:
     # Initialization (MonocularInitialization :3578 + CreateInitialMap :3680)
     # ------------------------------------------------------------------
     def _try_initialize(self, feats, stamp):
+        # Before building a fresh map, try relocalizing into an OLD atlas
+        # map (cross-map reloc): revisiting known territory after a loss
+        # re-enters the old map directly instead of mapping it again and
+        # waiting for the merge path.
+        if len(self.atlas.maps) > 1 and self.loop_closer is not None:
+            reloc = self._relocalize(feats, stamp)
+            if reloc is not None:
+                return reloc
         n_valid = int(np.asarray(feats.valid).sum())
         if self._init_feats is None:
             if n_valid >= 100:
@@ -393,16 +430,28 @@ class MonoSlam:
         residual (use_stereo/bf)."""
         return {}
 
+    def _local_window_kwargs(self) -> dict:
+        """Static args of the bounded per-frame local map."""
+        return dict(max_kf=self.cfg.max_kf,
+                    n_local_kf=self.cfg.local_kf_window,
+                    n_local_lm=self.cfg.local_lm_window,
+                    recent_kf=self.cfg.recent_kf_window)
+
     def _track_local_map(self, res, feats):
-        """Local-map tracking + final pose optimization. Stereo systems
+        """Local-map tracking + final pose optimization against the
+        BOUNDED local window (UpdateLocalKeyFrames/Points). Stereo systems
         override this with the mixed mono/stereo-residual variant."""
         lms = self.state.lms
-        return tracking.track_local_map(
+        return tracking.track_local_map_windowed(
             res.R, res.t, res.bindings,
             lms.pos, lms.desc, lms.normal, lms.min_dist, lms.max_dist,
-            lms.valid,
+            lms.valid, self.state.obs.kf, self.state.obs.valid,
+            jnp.asarray(self.n_kf, jnp.int32),
             feats.xy, feats.level, feats.desc, feats.valid,
-            self.cam_params, self.cfg.width, self.cfg.height)
+            jnp.full((self.cfg.n_features,), -1.0, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+            self.cam_params, self.cfg.width, self.cfg.height,
+            use_stereo=False, **self._local_window_kwargs())
 
     # ------------------------------------------------------------------
     def _track_frame(self, feats, stamp):
@@ -430,16 +479,20 @@ class MonoSlam:
                 (self._ur if use_stereo
                  else jnp.full((self.cfg.n_features,), -1.0, jnp.float32)),
                 jnp.asarray(ba_kw.get("bf", 0.0), jnp.float32),
+                jnp.asarray(getattr(self.cfg, "depth_threshold", 0.0)
+                            if use_stereo else 0.0, jnp.float32),
                 self.state.obs.kf, self.state.obs.valid,
                 jnp.asarray(self.last_kf_id, jnp.int32),
+                jnp.asarray(self.n_kf, jnp.int32),
                 lms.n_found, lms.n_visible,
                 self.cam_params, self.cfg.width, self.cfg.height,
-                use_stereo=use_stereo)
+                use_stereo=use_stereo, **self._local_window_kwargs())
             info_np = np.asarray(info)       # the one per-frame device sync
         n_inliers = int(info_np[0])
         ref_matches = max(int(info_np[1]), 1)
-        R_np = info_np[2:11].reshape(3, 3)
-        t_np = info_np[11:14]
+        self._close_counts = (int(info_np[2]), int(info_np[3]))
+        R_np = info_np[4:13].reshape(3, 3)
+        t_np = info_np[13:16]
 
         if n_inliers < 15 and self.last_kf_id >= 0:
             # TrackReferenceKeyFrame fallback (Tracking.cc:3931): match the
@@ -566,6 +619,21 @@ class MonoSlam:
         if self.n_kf < self.cfg.max_kf - 1:
             return True
         self._drain_pending()
+        # Compaction renumbers KF ids: a background-GBA snapshot keyed on
+        # the old ids cannot merge — finish it first (cheap vs losing it).
+        self._gba_flush()
+        # Overflow valve: if (almost) every slot is live, force-cull the
+        # most redundant keyframes so a full-length run degrades to
+        # sliding-window culling instead of silently stopping mapping
+        # (VERDICT r4 missing #6; the reference's heap map never fills, so
+        # this is array-capacity-specific).
+        n_live = int(np.asarray(self.state.kfs.valid).sum())
+        if n_live >= self.cfg.max_kf - 1:
+            n_freed = self._force_cull_keyframes(
+                max(self.cfg.max_kf // 8, 2))
+            verbose.print_mess(
+                f"map at capacity max_kf={self.cfg.max_kf}: force-culled "
+                f"{n_freed} most-redundant keyframes")
         state, old2new, n_valid = ms.compact_keyframes(self.state, self.n_kf)
         if n_valid >= self.cfg.max_kf - 1:
             verbose.print_mess(
@@ -604,6 +672,34 @@ class MonoSlam:
         self._refresh_ref_cache()
         return True
 
+    def _force_cull_keyframes(self, n: int) -> int:
+        """Capacity overflow: drop up to ``n`` keyframes in redundancy
+        order, IGNORING the 0.9 redundancy gate (KeyFrameCulling's score,
+        LocalMapping.cc:1177, used as a ranking here). KF0 and the newest
+        keyframes are protected. Inertial systems override with the
+        chain-aware variant (preintegration re-merge)."""
+        count = 0
+        live_order = np.where(np.asarray(self.state.kfs.valid))[0]
+        protect = set(live_order[-8:].tolist()) | {0}
+        for _ in range(n):
+            valid = np.asarray(self.state.kfs.valid)
+            eligible = valid.copy()
+            for k in protect:
+                if k < len(eligible):
+                    eligible[k] = False
+            if not eligible.any():
+                break
+            out = np.asarray(mapping.cull_candidate(
+                self.state, jnp.asarray(eligible), min_seen=0))
+            best = int(out[0])
+            if out[1] < 0 or not eligible[best]:
+                break
+            self.state = mapping.drop_keyframe(
+                self.state, jnp.asarray(best, jnp.int32))
+            self._rebase_culled(valid)
+            count += 1
+        return count
+
     @staticmethod
     def _resolve_dead_parents(parent: np.ndarray,
                               live: np.ndarray) -> np.ndarray:
@@ -641,6 +737,7 @@ class MonoSlam:
         slots first when the array is full. Returns how many fit."""
         if self.n_lm + n_new <= self.cfg.max_lm:
             return n_new
+        self._gba_flush()
         state, old2new, n_valid = ms.compact_landmarks(self.state, self.n_lm)
         if n_valid + n_new > self.cfg.max_lm:
             verbose.print_mess(
@@ -730,7 +827,8 @@ class MonoSlam:
         if self.loop_closer is not None:
             self.loop_closer.add_keyframe(self.state, kf_id)  # no host sync
         self._pending_kf = dict(kf_id=kf_id, info=info, culled=culled,
-                                valid_before=valid_before)
+                                valid_before=valid_before,
+                                ref_gen=self._ref_cache_gen)
         # The hosting frame's trajectory record is this KF + identity
         # (consumed by _log_frame in the same track() call).
         self._kf_host_pending = True
@@ -751,7 +849,11 @@ class MonoSlam:
             parent if parent_cnt > 0 else
             (kf_id - 1 if kf_id > 0 else -1))
         self.n_lm = max(self.n_lm, int(info_np[2]))
-        if self.last_kf_id == kf_id:
+        if (self.last_kf_id == kf_id
+                and pend["ref_gen"] == self._ref_cache_gen):
+            # Exact post-bundle pose — but ONLY if no VIBA/rebase/loop event
+            # refreshed the cache since the bundle dispatch (the bundle-time
+            # pose is pre-rebase and would mislabel frames until the next KF).
             self._ref_cache = (kf_id, info_np[3:12].reshape(3, 3).copy(),
                                info_np[12:15].copy())
         culled = np.asarray(pend["culled"])
@@ -769,6 +871,70 @@ class MonoSlam:
                     np.asarray(self.state.kfs.R),
                     np.asarray(self.state.kfs.t))
         self._run_loop_closing(kf_id)
+
+    # ------------------------------------------------------------------
+    # Background global BA (RunGlobalBundleAdjustment parity)
+    # ------------------------------------------------------------------
+    def _ensure_bg_gba(self):
+        if self._bg_gba is None:
+            from .background_gba import BackgroundGBA
+            self._bg_gba = BackgroundGBA()
+        return self._bg_gba
+
+    def _gba_tick(self):
+        """Advance the background solve by one bounded slice (called once
+        per tracked frame); merge + re-coordinate when it completes."""
+        g = self._bg_gba
+        if g is None or not g.active:
+            return
+        with self._stage("global_ba"):
+            if g.tick():
+                self._merge_bg_gba()
+
+    def _gba_flush(self):
+        """Finish any in-flight background GBA inline (the save/shutdown
+        paths wait for the detached GBA thread the same way)."""
+        g = self._bg_gba
+        if g is not None and g.flush():
+            self._merge_bg_gba()
+
+    def _gba_abort(self):
+        """mbStopGBA: drop the in-flight solve (map reset / compaction /
+        merge invalidated the snapshot's ids)."""
+        if self._bg_gba is not None:
+            self._bg_gba.abort()
+
+    def _merge_bg_gba(self):
+        self.state = self._bg_gba.merge(self.state, self.kf_parent)
+        self._on_map_corrected(self.last_kf_id)
+
+    def _on_map_corrected(self, kf_id: int):
+        """Re-coordinate the live tracking context after a map correction
+        (loop closure / GBA merge): the last frame follows its reference
+        keyframe's correction, T' = T · Twc_ref_old · Tcw_ref_new (the
+        reference recomputes frame poses from the stored relative pose the
+        same way). Sets ``self._corr_Rw`` (world-frame rotation correction)
+        for subclasses that carry world-frame state (body velocity)."""
+        self._corr_Rw = None
+        if self.last_kf_id != kf_id or self._last is None or kf_id < 0:
+            return
+        R_rn = np.asarray(self.state.kfs.R[kf_id])
+        t_rn = np.asarray(self.state.kfs.t[kf_id])
+        cache = self._ref_cache
+        if cache is not None and cache[0] == kf_id:
+            _, R_ro, t_ro = cache
+            R_l = np.asarray(self._last["R"])
+            t_l = np.asarray(self._last["t"])
+            rel = R_l @ R_ro.T
+            self._last["R"] = (rel @ R_rn).astype(np.float32)
+            self._last["t"] = (rel @ (t_rn - t_ro) + t_l).astype(np.float32)
+            # Old-world -> new-world rotation at this anchor.
+            self._corr_Rw = (R_rn.T @ R_ro).astype(np.float32)
+        else:
+            self._last["R"] = R_rn
+            self._last["t"] = t_rn
+        self._vel = None
+        self._refresh_ref_cache()
 
     def _run_loop_closing(self, kf_id: int):
         """Per-KF LoopClosing work (detection + correction + GBA)."""
@@ -789,19 +955,28 @@ class MonoSlam:
                         self.state, jnp.asarray(kf_id, jnp.int32),
                         self.cam_params, float(self.cfg.width),
                         float(self.cfg.height))
-                with self._stage("global_ba"):
-                    self.state = mapping.global_ba(
-                        self.state, self.cam_params, mesh=self.mesh,
-                        **self._ba_kwargs())
-                    if self.timers is not None:
-                        jax.block_until_ready(self.state.kfs.R)
-                # Refresh the tracking context to the corrected pose (only
-                # if this is still the newest KF).
-                if self.last_kf_id == kf_id:
-                    self._last["R"] = self.state.kfs.R[kf_id]
-                    self._last["t"] = self.state.kfs.t[kf_id]
-                    self._vel = None
-                    self._refresh_ref_cache()
+                # Re-coordinate the live tracking context to the corrected
+                # map (only if this is still the newest KF).
+                self._on_map_corrected(kf_id)
+                # Refine with global BA. Default: time-sliced in the
+                # BACKGROUND against a snapshot (one LM iteration per
+                # tracked frame) while tracking continues —
+                # RunGlobalBundleAdjustment detached-thread parity
+                # (LoopClosing.cc:2869; abort flag :1281-1307).
+                if self.cfg.background_gba:
+                    kw = self._ba_kwargs()
+                    self._ensure_bg_gba().start(
+                        self.state, self.n_kf, self.cam_params,
+                        use_stereo=bool(kw.get("use_stereo")),
+                        bf=float(kw.get("bf", 0.0)))
+                else:
+                    with self._stage("global_ba"):
+                        self.state = mapping.global_ba(
+                            self.state, self.cam_params, mesh=self.mesh,
+                            **self._ba_kwargs())
+                        if self.timers is not None:
+                            jax.block_until_ready(self.state.kfs.R)
+                    self._on_map_corrected(kf_id)
             elif len(self.atlas.maps) > 1:
                 # Merge branch: common region in ANOTHER map
                 # (LoopClosing::MergeLocal, :1590).
@@ -816,6 +991,7 @@ class MonoSlam:
     def save_atlas_checkpoint(self, path: str):
         from ..io import checkpoint
         self._drain_pending()
+        self._gba_flush()
         checkpoint.save_atlas(path, self.atlas)
 
     def load_atlas_checkpoint(self, path: str):
@@ -824,6 +1000,7 @@ class MonoSlam:
         path once their places are revisited (the reference relocalizes
         into the loaded atlas the same way, System.cc:179 + Tracking)."""
         from ..io import checkpoint
+        self._gba_abort()
         # Existing frame records reference the outgoing state: freeze them.
         self._traj.freeze_all(np.asarray(self.state.kfs.R),
                               np.asarray(self.state.kfs.t))
@@ -858,6 +1035,9 @@ class MonoSlam:
         (MergeLocal, /root/reference/src/LoopClosing.cc:1590: welding-window
         duplication + merge BA; here the weld is an array concat under the
         inverse Sim3 followed by a full-map BA — cheap once batched)."""
+        # A running GBA snapshot predates the weld: abort (mbStopGBA on
+        # merge, LoopClosing.cc:2292 region).
+        self._gba_abort()
         R_m, t_m, s_m, _ = corr            # x_other = s R x_active + t
         # Invert: x_active = (1/s) R^T (x_other - t).
         R_i = np.asarray(R_m).T
@@ -985,20 +1165,52 @@ class MonoSlam:
     def _relocalize(self, feats, stamp):
         if self.loop_closer is None:
             return None
+        # Active map first — the reference restricts candidates to the
+        # current map (DetectRelocalizationCandidates map filter,
+        # /root/reference/src/KeyFrameDatabase.cc:926-928).
+        hit = self._relocalize_in_map(feats, self.atlas.current)
+        if hit is not None:
+            res, _ = hit
+            self._adopt_reloc(res, feats, stamp)
+            return (res.R, res.t)
+        # Cross-map extension: mine every OTHER Atlas map's database too
+        # and SWITCH into the map that relocalizes — old maps become
+        # re-enterable directly, without waiting for enough fresh mapping
+        # to trigger the merge path (the reference can only rejoin old
+        # maps through MergeLocal).
+        for m in range(len(self.atlas.maps) - 1, -1, -1):
+            if m == self.atlas.current:
+                continue
+            hit = self._relocalize_in_map(feats, m)
+            if hit is not None:
+                res, cand = hit
+                self._switch_to_map_for_reloc(m, cand)
+                self._adopt_reloc(res, feats, stamp)
+                verbose.print_mess(
+                    f"relocalized into atlas map {m} (KF {cand})")
+                return (res.R, res.t)
+        return None
+
+    def _relocalize_in_map(self, feats, map_idx: int):
+        """SearchByBoW candidate mining + MLPnP-equivalent RANSAC +
+        local-map tracking against ONE atlas map (Tracking.cc:5111-5146).
+        Returns (TrackResult, candidate_kf) or None — no state mutation."""
         from ..ops import matching, pnp
+        db = self.loop_closer.dbs.get(map_idx)
+        if db is None:
+            return None
+        state = self.atlas.maps[map_idx]
         # Covisibility-group accumulated candidate scoring, like loop
         # detection (DetectRelocalizationCandidates shares the group logic,
         # /root/reference/src/KeyFrameDatabase.cc:827).
-        ids, scores, _ = self.loop_closer.db.query_groups(
-            feats.desc, feats.valid, ms.covisibility_matrix(self.state),
+        ids, scores, _ = db.query_groups(
+            feats.desc, feats.valid, ms.covisibility_matrix(state),
             top_n=3)
-        lms = self.state.lms
+        lms = state.lms
         for cand in ids:
-            if cand < 0 or not bool(self.state.kfs.valid[cand]):
+            if cand < 0 or not bool(state.kfs.valid[cand]):
                 continue
-            # SearchByBoW-style 2D-3D matching against the candidate KF's
-            # landmarks, then MLPnP-equivalent RANSAC (Tracking.cc:5111-5146).
-            seen, _ = ms.landmarks_seen_by(self.state, int(cand))
+            seen, _ = ms.landmarks_seen_by(state, int(cand))
             mj, _ = matching.match(lms.desc, feats.desc, seen, feats.valid,
                                    max_dist=matching.TH_LOW, ratio=0.75)
             kp = jnp.maximum(mj, 0)
@@ -1011,8 +1223,8 @@ class MonoSlam:
                 R0, t0 = pr.R, pr.t
             else:
                 # Fall back to the candidate KF's own pose.
-                R0 = self.state.kfs.R[int(cand)]
-                t0 = self.state.kfs.t[int(cand)]
+                R0 = state.kfs.R[int(cand)]
+                t0 = state.kfs.t[int(cand)]
             res = tracking.track_local_map(
                 R0, t0,
                 jnp.full((self.cfg.n_features,), -1, jnp.int32),
@@ -1021,13 +1233,44 @@ class MonoSlam:
                 feats.xy, feats.level, feats.desc, feats.valid,
                 self.cam_params, self.cfg.width, self.cfg.height)
             if int(res.n_inliers) >= self.cfg.min_reloc_inliers:
-                self.status = OK
-                self.lost_frames = 0
-                self._vel = None
-                self._last = dict(feats=feats, bindings=res.bindings,
-                                  R=res.R, t=res.t, stamp=stamp)
-                return (res.R, res.t)
+                return res, int(cand)
         return None
+
+    def _adopt_reloc(self, res, feats, stamp):
+        self.status = OK
+        self.lost_frames = 0
+        self._vel = None
+        self._last = dict(feats=feats, bindings=res.bindings,
+                          R=res.R, t=res.t, stamp=stamp)
+
+    def _switch_to_map_for_reloc(self, map_idx: int, cand: int):
+        """Make ``map_idx`` the active map after a cross-map reloc hit.
+        The outgoing map stays in the Atlas if mature (merge-back joins it
+        later), or is reset in place if too young to keep — the same
+        keep/reset split as _handle_lost (Tracking.cc:3349-3378)."""
+        self._drain_pending()
+        self._gba_abort()
+        keep = self.n_kf >= 10
+        # Frame records of the outgoing map must stop replaying against
+        # the incoming map's keyframe slots.
+        self._traj.freeze_all(np.asarray(self.state.kfs.R),
+                              np.asarray(self.state.kfs.t),
+                              map_tag=(self.atlas.current if keep else -1))
+        if not keep:
+            self.atlas.reset_active_map()
+            if self.loop_closer is not None:
+                self.loop_closer.reset_active()
+        self.atlas.current = map_idx
+        self.loop_closer.switch_map(map_idx, fresh=False)
+        self.last_kf_id = cand
+        self.frames_since_kf = 0
+        self._init_feats = None
+        self._init_stamp = None
+        self._refresh_ref_cache()
+        self._on_cross_map_reloc(cand)
+
+    def _on_cross_map_reloc(self, cand: int):
+        """Subclass hook (inertial systems restart their chain here)."""
 
     def _check_timestamp_jump(self, stamp: float) -> bool:
         """Timestamp discontinuity guard (Tracking.cc:2704-2765): a gap
@@ -1051,6 +1294,7 @@ class MonoSlam:
         """LOST: small map -> reset; mature map -> keep it, start a new one
         (Tracking.cc:3349-3378 + CreateMapInAtlas)."""
         self._drain_pending()
+        self._gba_abort()      # the snapshot's map is going away
         # The active map's KF slots are about to be reused: replay its
         # frame records once and store them absolute. If the map survives
         # in the Atlas (mature-map branch), tag the records with its index
@@ -1118,6 +1362,7 @@ class MonoSlam:
     def keyframe_trajectory(self):
         """(stamps, Rcw, tcw) arrays of live keyframes (absolute stamps)."""
         self._drain_pending()
+        self._gba_flush()
         kfs = self.state.kfs
         valid = np.asarray(kfs.valid)
         return (np.asarray(kfs.stamp, np.float64)[valid] + self.t0,

@@ -55,6 +55,60 @@ class TestLocalizationMode:
         assert slam.n_lm == lm_before
 
 
+class TestCrossMapRelocalization:
+    def test_reenters_old_map_directly(self):
+        """Lose tracking, spawn a fresh map, revisit old-map territory
+        BEFORE the fresh map initializes: relocalization must mine the old
+        map's database and switch back INTO it (cross-map reloc — the
+        reference can only rejoin old maps through the merge path,
+        KeyFrameDatabase.cc:926-928 filters reloc candidates to the
+        current map)."""
+        world = SynthWorld(seed=3)
+        descs = []
+        for t in (0.0, 0.7, 1.4):
+            f = fast_orb.extract(jnp.asarray(world.render(t), jnp.float32),
+                                 n_features=1536)
+            descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+        voc = bow.train_vocabulary(np.concatenate(descs), k=6, depth=3)
+        cfg = SlamConfig(fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+                         width=world.w, height=world.h, n_features=1536,
+                         max_kf=48, max_lm=4096, max_obs=8, fps=10,
+                         min_init_matches=60, vocabulary=voc,
+                         use_loop_closing=False, lost_grace_frames=2)
+        slam = MonoSlam(cfg)
+        for t in np.arange(0, 2.0, 0.1):
+            slam.track(world.render(t), float(t))
+        assert slam.status == base.OK
+        assert slam.n_kf >= 10, "old map must be mature enough to keep"
+        old_map = slam.atlas.current
+        old_n_kf = slam.n_kf
+
+        # Blackout past the grace budget: the mature map is kept in the
+        # Atlas and a FRESH map is spawned (CreateMapInAtlas).
+        rng = np.random.default_rng(5)
+        for i in range(6):
+            noise = rng.uniform(0, 30, (world.h, world.w)).astype(np.float32)
+            slam.track(noise, 2.0 + 0.1 * i)
+        assert slam.status == base.NOT_INITIALIZED
+        assert len(slam.atlas.maps) == 2
+        assert slam.atlas.current != old_map
+
+        # Revisit mapped territory BEFORE the fresh map maps anything:
+        # cross-map reloc must switch straight back into the old map.
+        recovered = False
+        for i, t in enumerate(np.arange(1.0, 1.6, 0.1)):
+            pose = slam.track(world.render(t), 2.7 + 0.1 * i)
+            if slam.status == base.OK:
+                recovered = True
+                break
+        assert recovered, "cross-map relocalization failed"
+        assert slam.atlas.current == old_map
+        assert slam.n_kf == old_n_kf      # the OLD map's content is live
+        # Tracking continues in the re-entered map.
+        p = slam.track(world.render(1.7), 3.6)
+        assert p is not None and slam.status == base.OK
+
+
 class TestRelocalization:
     def test_recovers_after_blackout(self, trained_slam):
         slam, world = trained_slam
