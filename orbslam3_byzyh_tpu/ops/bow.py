@@ -52,16 +52,36 @@ def _bit_majority(descs: np.ndarray, weights: np.ndarray) -> np.ndarray:
 
     (FORB::meanValue behaviour, Thirdparty/DBoW2/DBoW2/FORB.cpp.)
     """
-    bits = np.unpackbits(descs.view(np.uint8), axis=-1,
-                         bitorder="little").astype(np.float64)  # (N, 256)
-    mean = (bits * weights[:, None]).sum(0) / max(weights.sum(), 1e-9)
+    n = len(descs)
+    acc = np.zeros(256, np.float64)
+    chunk = 262144
+    for i in range(0, n, chunk):
+        bits = np.unpackbits(descs[i:i + chunk].view(np.uint8), axis=-1,
+                             bitorder="little")          # (n', 256) uint8
+        acc += bits.astype(np.float64).T @ weights[i:i + chunk]
+    mean = acc / max(weights.sum(), 1e-9)
     out_bits = (mean > 0.5).astype(np.uint8)
     return np.packbits(out_bits, bitorder="little").view(np.uint32)
 
 
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=-1).sum(-1).astype(np.uint8)
+
+
 def _np_hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = a[:, None, :] ^ b[None, :, :]
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    """(Na, 8) x (Nb, 8) -> (Na, Nb) Hamming. Chunked over rows with a
+    byte-popcount LUT so million-descriptor corpora (the 100k-word real
+    vocabulary) train without materializing (Na, Nb, 256) bit tensors."""
+    n = len(a)
+    chunk = max(1, int(4e6 / max(len(b), 1)))
+    if n <= chunk:
+        x = (a[:, None, :] ^ b[None, :, :]).view(np.uint8)
+        return _POPCOUNT8[x].sum(-1, dtype=np.int32)
+    out = np.empty((n, len(b)), np.int32)
+    for i in range(0, n, chunk):
+        x = (a[i:i + chunk, None, :] ^ b[None, :, :]).view(np.uint8)
+        out[i:i + chunk] = _POPCOUNT8[x].sum(-1, dtype=np.int32)
+    return out
 
 
 def _kmeans_binary(descs: np.ndarray, k: int, rng, iters: int = 8):

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--no-vocabulary", action="store_true",
                     help="disable reloc/loop closing")
     ap.add_argument("--max-frames", type=int, default=None)
+    # MH01-05 multi-session scale by default (euroc_eval_examples.sh:14-20
+    # runs 5 sequences back to back; well over 256 live keyframes).
+    ap.add_argument("--max-kf", type=int, default=1024)
+    ap.add_argument("--max-lm", type=int, default=65536)
     ap.add_argument("--no-loop-closing", action="store_true")
     ap.add_argument("--snapshot-every", type=int, default=0,
                     help="write map_NNNN.png every N frames (offline viewer)")
@@ -86,6 +90,7 @@ def main():
         fps=cfg_yaml.fps or 20.0,
         vocabulary=voc,
         use_loop_closing=not args.no_loop_closing,
+        max_kf=args.max_kf, max_lm=args.max_lm,
         min_init_matches=args.min_init_matches)
     imu_cfg = ImuConfig(
         T_bc=np.asarray(cfg_yaml.imu.Tbc, np.float32),

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--no-vocabulary", action="store_true",
                     help="disable reloc/loop closing")
     ap.add_argument("--max-frames", type=int, default=None)
+    # MH01-05 multi-session scale by default (euroc_eval_examples.sh:14-20
+    # runs 5 sequences back to back; well over 256 live keyframes).
+    ap.add_argument("--max-kf", type=int, default=1024)
+    ap.add_argument("--max-lm", type=int, default=65536)
     ap.add_argument("--no-imu", action="store_true")
     ap.add_argument("--no-loop-closing", action="store_true")
     ap.add_argument("--snapshot-every", type=int, default=0,
@@ -83,6 +87,7 @@ def main():
         fps=cfg_yaml.fps or 20.0,
         vocabulary=voc,
         use_loop_closing=not args.no_loop_closing,
+        max_kf=args.max_kf, max_lm=args.max_lm,
         bf=rig.bf, th_depth=cfg_yaml.th_depth or 35.0)
 
     use_imu = (not args.no_imu and cfg_yaml.imu is not None

@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--no-vocabulary", action="store_true",
                     help="disable reloc/loop closing")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--max-kf", type=int, default=1024)
+    ap.add_argument("--max-lm", type=int, default=65536)
     args = ap.parse_args()
 
     import numpy as np
@@ -65,6 +67,7 @@ def main():
         cx=float(cam.params[2]), cy=float(cam.params[3]),
         width=cam.width, height=cam.height, dist=cam.dist,
         n_features=cfg_yaml.orb.n_features, fps=cfg_yaml.fps or 10.0,
+        max_kf=args.max_kf, max_lm=args.max_lm,
         vocabulary=voc)
     if args.stereo:
         slam = StereoSlam(StereoConfig(**common, bf=cfg_yaml.bf or 386.1448,

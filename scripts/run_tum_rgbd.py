@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--no-vocabulary", action="store_true",
                     help="disable reloc/loop closing")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--max-kf", type=int, default=1024)
+    ap.add_argument("--max-lm", type=int, default=65536)
     args = ap.parse_args()
 
     from orbslam3_byzyh_tpu.io import settings, trajectory, tum_rgbd
@@ -59,6 +61,7 @@ def main():
         cx=float(cam.params[2]), cy=float(cam.params[3]),
         width=cam.width, height=cam.height, dist=cam.dist,
         n_features=cfg_yaml.orb.n_features, fps=cfg_yaml.fps or 30.0,
+        max_kf=args.max_kf, max_lm=args.max_lm,
         vocabulary=voc,
         bf=cfg_yaml.bf or 40.0, th_depth=cfg_yaml.th_depth or 40.0,
         depth_scale=1.0))  # loader already divides by the png factor

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("settings")
     ap.add_argument("sequence", nargs="+")
     ap.add_argument("--timestamps", nargs="*", default=None)
+    ap.add_argument("--max-kf", type=int, default=1024)
+    ap.add_argument("--max-lm", type=int, default=65536)
     ap.add_argument("--output-name", default="tumvi")
     ap.add_argument("--vocabulary", default=_default_vocabulary())
     ap.add_argument("--no-vocabulary", action="store_true",
@@ -85,6 +87,7 @@ def main():
         n_features=cfg_yaml.orb.n_features,
         fps=cfg_yaml.fps or 20.0,
         vocabulary=voc,
+        max_kf=args.max_kf, max_lm=args.max_lm,
         use_loop_closing=not args.no_loop_closing)
     use_imu = not args.no_imu and cfg_yaml.imu is not None
     imu_cfg = None

@@ -55,6 +55,13 @@ def main():
     ap.add_argument("--sessions", type=int, default=2,
                     help="split the sequence into N sessions "
                          "(ChangeDataset between them; merge-back expected)")
+    ap.add_argument("--subpix", action="store_true",
+                    help="subpixel-rendered world: realistic descriptor "
+                         "persistence -> EuRoC-like KF cadence, genuine "
+                         "drift accumulation, EMERGENT loop closures")
+    ap.add_argument("--max-kf", type=int, default=192)
+    ap.add_argument("--max-lm", type=int, default=16384)
+    ap.add_argument("--local-lm-window", type=int, default=4096)
     args = ap.parse_args()
 
     import jax
@@ -72,7 +79,7 @@ def main():
     from orbslam3_byzyh_tpu.utils import evaluate
     from synth_world import SynthWorld
 
-    world = SynthWorld(seed=17, motion="loop")
+    world = SynthWorld(seed=17, motion="loop", subpix=args.subpix)
     world.loop_period = args.loop_period
     baseline = 0.2
 
@@ -85,7 +92,9 @@ def main():
     cfg = StereoConfig(
         fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
         width=world.w, height=world.h,
-        n_features=args.features, max_kf=192, max_lm=16384, max_obs=8,
+        n_features=args.features, max_kf=args.max_kf,
+        max_lm=args.max_lm, max_obs=8,
+        local_lm_window=args.local_lm_window,
         fps=args.fps, bf=baseline * world.fx, th_depth=35.0,
         vocabulary=voc)
     imu_cfg = ImuConfig(T_bc=np.eye(4, dtype=np.float32))

@@ -13,7 +13,15 @@ import numpy as np
 
 class SynthWorld:
     def __init__(self, seed=0, n_points=2500, w=640, h=480,
-                 fx=400.0, fy=400.0, motion="default"):
+                 fx=400.0, fy=400.0, motion="default", subpix=False):
+        # subpix: draw blobs with 1/16-pixel centers (cv2 shift=4).
+        # Integer-quantized centers make descriptors flicker frame to
+        # frame, which collapses ref-KF matches and forces a keyframe
+        # every ~1.5 frames — an order of magnitude denser than EuRoC's
+        # ~1 KF / 10 frames. Subpixel rendering restores realistic
+        # descriptor persistence (used by the EuRoC-cadence bench config;
+        # default False keeps the long-standing test/golden imagery).
+        self.subpix = subpix
         self.motion = motion
         self.rng = np.random.default_rng(seed)
         self.w, self.h = w, h
@@ -144,6 +152,27 @@ class SynthWorld:
         img = np.full((self.h, self.w), 30, np.uint8)
         # Low-frequency background so FAST doesn't fire on pure noise.
         order = np.argsort(-z)  # far first, near drawn on top
+        if self.subpix:
+            # 1/16-pixel geometry (stable descriptors across frames).
+            S = 16
+            for i in order:
+                if not vis[i]:
+                    continue
+                uf, vf = float(u[i]), float(v[i])
+                if not (-10 <= uf < self.w + 10 and -10 <= vf < self.h + 10):
+                    continue
+                rf = max(3.0, self.sizes[i] * 8.0 / z[i])
+                val = int(self.intens[i])
+                ui, vi = int(round(uf * S)), int(round(vf * S))
+                r16 = int(round(rf * S))
+                cv2.circle(img, (ui, vi), r16, val, -1, cv2.LINE_AA, 4)
+                for s in range(4):
+                    su = int(round((uf + self.sat_off[i, s, 0] * rf) * S))
+                    sv = int(round((vf + self.sat_off[i, s, 1] * rf) * S))
+                    cv2.circle(img, (su, sv), max(S, r16 // 3),
+                               int(self.sat_int[i, s]), -1, cv2.LINE_AA, 4)
+            img = cv2.GaussianBlur(img, (3, 3), 0.8)
+            return img.astype(np.float32)
         for i in order:
             if not vis[i]:
                 continue
