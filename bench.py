@@ -214,7 +214,8 @@ def _mono_session(frames, stamps, timers=False):
     cfg = SlamConfig(fx=400.0, fy=400.0, cx=320.0, cy=240.0,
                      width=640, height=480,
                      n_features=1536, max_kf=64, max_lm=4096, max_obs=8,
-                     fps=10, min_init_matches=60)
+                     fps=10, min_init_matches=60,
+                     kf_ref_min_obs=1)  # quantized world: dense-KF cadence
     slam = MonoSlam(cfg)
     if timers:
         slam.enable_stage_timers()
@@ -237,7 +238,8 @@ def _stereo_inertial_session(data, timers=False):
     cfg = StereoConfig(fx=400.0, fy=400.0, cx=320.0, cy=240.0,
                        width=640, height=480,
                        n_features=1024, max_kf=48, max_lm=4096, max_obs=8,
-                       fps=10, bf=0.2 * 400.0, th_depth=35.0)
+                       fps=10, bf=0.2 * 400.0, th_depth=35.0,
+                       kf_ref_min_obs=1)  # quantized world: dense cadence
     imu_cfg = ImuConfig(T_bc=np.eye(4, dtype=np.float32))
     slam = StereoInertialSlam(cfg, imu_cfg, viba_window=12, viba_free=6,
                               viba_landmarks=1024, full_viba_kf=32)

@@ -335,7 +335,21 @@ class MonoInertialSlam(MonoSlam):
             # comparable to visual pose noise and scale unobservable.
             dt = self._cur_stamp - self._trajectory_kf_stamp(self.last_kf_id)
             return dt >= 0.25 and self._kf_slot_available()
-        return super()._need_new_keyframe(n_inliers, ref_matches)
+        if super()._need_new_keyframe(n_inliers, ref_matches):
+            return True
+        # Post-init inertial triggers (Tracking.cc:4501-4522):
+        #   c3 — every inertial sensor forces a keyframe after 0.5 s so
+        #        preintegration intervals stay short;
+        #   c4 — mono-inertial also inserts on thin tracking (<75 inliers)
+        #        or RECENTLY_LOST recovery.
+        if self.last_kf_id < 0:
+            return False
+        dt = self._cur_stamp - self._trajectory_kf_stamp(self.last_kf_id)
+        c3 = dt >= 0.5
+        is_mono_imu = self._depth is None
+        c4 = is_mono_imu and ((15 < n_inliers < 75)
+                              or self.status == RECENTLY_LOST)
+        return (c3 or c4) and self._kf_slot_available()
 
     # Inertial systems run the fused insert/triangulate/fuse bundle but do
     # LocalInertialBA + chain-aware culling on the host right after (the
@@ -984,9 +998,12 @@ class MonoInertialSlam(MonoSlam):
         lms2 = lms2._replace(n_found=lms2.n_found + add,
                              n_visible=lms2.n_visible + add)
         # Reference-KF tracked-point count for the c2 ratio — computed
-        # device-side so the KF decision needs no second host round-trip.
-        ref_matches = ((self.state.obs.kf == self.last_kf_id)
-                       & self.state.obs.valid).sum()
+        # device-side so the KF decision needs no second host round-trip
+        # (>= 3-observation filter = TrackedMapPoints(3) parity).
+        ref_matches = tracking.ref_kf_matches(
+            self.state.obs.kf, self.state.obs.valid,
+            jnp.asarray(self.last_kf_id, jnp.int32),
+            jnp.asarray(self.cfg.kf_ref_min_obs, jnp.int32))
         parts = [pr.n_inliers[None].astype(jnp.float32),
                  ref_matches[None].astype(jnp.float32), Rc_d.reshape(-1),
                  tc_d, pr.bg, pr.ba]

@@ -61,6 +61,12 @@ class SlamConfig:
     local_kf_window: int = 20
     local_lm_window: int = 4096
     recent_kf_window: int = 4
+    # Min observations for a ref-KF landmark to count in the c2 keyframe
+    # ratio (TrackedMapPoints(nMinObs), Tracking.cc:4407-4412; reference
+    # default 3). Synthetic worlds with frame-to-frame descriptor churn
+    # (quantized blob rendering) may need 1 to keep the old dense-KF
+    # crutch; real imagery uses the parity default.
+    kf_ref_min_obs: int = 3
     min_init_matches: int = 100            # two-view init gate (Tracking.cc:3620)
     triangulation_neighbors: int = 3
     # Time-sliced background global BA after loop corrections (the
@@ -75,6 +81,10 @@ class SlamConfig:
     # auto (use all local devices when >1); False = force single-device.
     device_mesh: Optional[object] = None
     min_reloc_inliers: int = 30            # Relocalization gate (~:5230)
+    # Mine reloc candidates from every atlas map and switch into the map
+    # that relocalizes (extension; the reference filters candidates to the
+    # current map and rejoins old maps only through MergeLocal).
+    cross_map_reloc: bool = True
     lost_grace_frames: Optional[int] = None  # RECENTLY_LOST budget (~fps)
     chessboard: Optional[object] = None    # utils.chessboard.ChessboardConfig
 
@@ -149,6 +159,8 @@ class MonoSlam:
         # Time-sliced background global BA (pipeline/background_gba.py).
         self._bg_gba = None
         self._corr_Rw = None
+        # Count of cross-map relocalizations (old-map re-entries).
+        self.n_cross_map_relocs = 0
         self._t0 = None
         # (n_tracked_close, n_untracked_close) of the latest frame — the
         # stereo/RGB-D c1c keyframe rule inputs (Tracking.cc:4440-4461).
@@ -322,7 +334,8 @@ class MonoSlam:
         # map (cross-map reloc): revisiting known territory after a loss
         # re-enters the old map directly instead of mapping it again and
         # waiting for the merge path.
-        if len(self.atlas.maps) > 1 and self.loop_closer is not None:
+        if (len(self.atlas.maps) > 1 and self.loop_closer is not None
+                and self.cfg.cross_map_reloc):
             reloc = self._relocalize(feats, stamp)
             if reloc is not None:
                 return reloc
@@ -483,6 +496,7 @@ class MonoSlam:
                             if use_stereo else 0.0, jnp.float32),
                 self.state.obs.kf, self.state.obs.valid,
                 jnp.asarray(self.last_kf_id, jnp.int32),
+                jnp.asarray(self.cfg.kf_ref_min_obs, jnp.int32),
                 jnp.asarray(self.n_kf, jnp.int32),
                 lms.n_found, lms.n_visible,
                 self.cam_params, self.cfg.width, self.cfg.height,
@@ -758,10 +772,12 @@ class MonoSlam:
         """Subclass hook: remap any per-landmark side arrays."""
 
     def _ref_kf_matches(self) -> int:
-        """Observation count of the last keyframe (stand-in for the
-        reference-KF tracked-points count)."""
-        obs = self.state.obs
-        n = int(((obs.kf == self.last_kf_id) & obs.valid).sum())
+        """Reference-KF tracked-point count (TrackedMapPoints(3) parity;
+        see tracking.ref_kf_matches)."""
+        n = int(tracking.ref_kf_matches(
+            self.state.obs.kf, self.state.obs.valid,
+            jnp.asarray(self.last_kf_id, jnp.int32),
+            jnp.asarray(self.cfg.kf_ref_min_obs, jnp.int32)))
         return max(n, 1)
 
     # ------------------------------------------------------------------
@@ -1178,6 +1194,8 @@ class MonoSlam:
         # re-enterable directly, without waiting for enough fresh mapping
         # to trigger the merge path (the reference can only rejoin old
         # maps through MergeLocal).
+        if not self.cfg.cross_map_reloc:
+            return None
         for m in range(len(self.atlas.maps) - 1, -1, -1):
             if m == self.atlas.current:
                 continue
@@ -1186,6 +1204,7 @@ class MonoSlam:
                 res, cand = hit
                 self._switch_to_map_for_reloc(m, cand)
                 self._adopt_reloc(res, feats, stamp)
+                self.n_cross_map_relocs += 1
                 verbose.print_mess(
                     f"relocalized into atlas map {m} (KF {cand})")
                 return (res.R, res.t)

@@ -321,7 +321,8 @@ def frame_step(R_pred, t_pred, R_last, t_last,
                last_bind, last_desc, last_angle,
                feats_xy, feats_level, feats_desc, feats_valid, feats_angle,
                feats_ur, bf, th_depth,
-               obs_kf, obs_valid, ref_kf, n_kf, n_found, n_visible,
+               obs_kf, obs_valid, ref_kf, ref_min_obs, n_kf,
+               n_found, n_visible,
                cam_params, img_w: int, img_h: int,
                use_stereo: bool = False, model_id: int = cam.PINHOLE,
                max_kf: int = 0, n_local_kf: int = 20,
@@ -410,7 +411,7 @@ def frame_step(R_pred, t_pred, R_last, t_last,
 
     # Reference-KF tracked-point count for the KF decision (c2 ratio,
     # NeedNewKeyFrame, Tracking.cc:4474-4514).
-    ref_matches = ((obs_kf == ref_kf) & obs_valid).sum()
+    ref_matches = ref_kf_matches(obs_kf, obs_valid, ref_kf, ref_min_obs)
 
     # Stereo close-point deficit counters for the c1c rule
     # (NeedNewKeyFrame stereo branch, Tracking.cc:4440-4461): depth from
@@ -429,6 +430,21 @@ def frame_step(R_pred, t_pred, R_last, t_last,
         n_untracked_close[None].astype(jnp.float32),
         res.R.reshape(-1), res.t])
     return res, info, n_found, n_visible
+
+
+def ref_kf_matches(obs_kf, obs_valid, ref_kf, min_obs=3):
+    """Reference-KF tracked-point count for the c2 keyframe ratio:
+    landmarks observed by the reference KF with >= ``min_obs`` total
+    observations (``mpReferenceKF->TrackedMapPoints(nMinObs)`` with
+    nMinObs = 3, /root/reference/src/Tracking.cc:4407-4412). Counting ALL
+    of the KF's observations instead inflates the denominator with fresh
+    2-observation triangulations the frame cannot yet track, which pushed
+    the post-KF ratio under the 0.75/0.9 gate and forced a keyframe every
+    ~2 frames (the round-4 "KF every 1.5 frames" cadence pathology)."""
+    live = obs_valid & (obs_kf >= 0)
+    mature = live.sum(-1) >= min_obs                 # (L,)
+    in_ref = ((obs_kf == ref_kf) & obs_valid).any(-1)
+    return (in_ref & mature).sum()
 
 
 @jax.jit

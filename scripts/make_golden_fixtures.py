@@ -38,7 +38,9 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
 
     world = SynthWorld(seed=3)
-    cfg = SlamConfig(fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+    cfg = SlamConfig(
+        kf_ref_min_obs=1,  # quantized world: dense-KF cadence
+        fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
                      width=world.w, height=world.h,
                      n_features=1536, max_kf=48, max_lm=4096, max_obs=8,
                      fps=10, min_init_matches=60)

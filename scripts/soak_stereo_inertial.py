@@ -95,6 +95,7 @@ def main():
         n_features=args.features, max_kf=args.max_kf,
         max_lm=args.max_lm, max_obs=8,
         local_lm_window=args.local_lm_window,
+        kf_ref_min_obs=(3 if args.subpix else 1),
         fps=args.fps, bf=baseline * world.fx, th_depth=35.0,
         vocabulary=voc)
     imu_cfg = ImuConfig(T_bc=np.eye(4, dtype=np.float32))
@@ -171,6 +172,7 @@ def main():
         imu_ready=bool(slam.imu_ready),
         loops_closed=loops,
         merges_closed=merges,
+        cross_map_relocs=slam.n_cross_map_relocs,
         max_maps=max_maps, final_maps=len(slam.atlas.maps),
         ate_rmse_m=round(float(rmse), 4),
         kf_latency_early_median_s=round(early, 3),
@@ -183,7 +185,8 @@ def main():
     print(json.dumps(report, indent=1))
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
-    closed = (report["loops_closed"] >= 1 or report["merges_closed"] >= 1)
+    closed = (report["loops_closed"] >= 1 or report["merges_closed"] >= 1
+              or report["cross_map_relocs"] >= 1)
     ok = (report["imu_ready"] and closed
           and report["kf_latency_flat"] and report["ate_rmse_m"] < 0.3
           and report["tracked"] >= 0.9 * n_frames)

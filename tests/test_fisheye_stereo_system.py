@@ -40,6 +40,8 @@ def fisheye_run():
         return img_l, img_r
 
     cfg = FisheyeStereoConfig(
+        kf_ref_min_obs=1,  # quantized world: dense-KF cadence
+        
         fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
         width=world.w, height=world.h,
         n_features=1024, max_kf=32, max_lm=4096, max_obs=8, fps=10,

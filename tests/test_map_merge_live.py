@@ -26,11 +26,16 @@ def test_loss_newmap_merge_back():
         descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
     voc = bow.train_vocabulary(np.concatenate(descs), k=6, depth=3)
 
-    cfg = SlamConfig(fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+    cfg = SlamConfig(
+        kf_ref_min_obs=1,  # quantized world: dense-KF cadence
+        fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
                      width=world.w, height=world.h, n_features=1536,
                      max_kf=64, max_lm=8192, max_obs=8, fps=10,
                      min_init_matches=60, vocabulary=voc,
-                     use_loop_closing=True, lost_grace_frames=2)
+                     use_loop_closing=True, lost_grace_frames=2,
+                     cross_map_reloc=False)  # force the MERGE path
+                     # (cross-map reloc would re-enter map A directly;
+                     # that path is covered by test_reloc_localization)
     slam = MonoSlam(cfg)
 
     # Phase 1: build map A.

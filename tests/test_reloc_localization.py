@@ -28,7 +28,9 @@ def trained_slam():
         descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
     voc = bow.train_vocabulary(np.concatenate(descs), k=6, depth=3)
 
-    cfg = SlamConfig(fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+    cfg = SlamConfig(
+        kf_ref_min_obs=1,  # quantized world: dense-KF cadence
+        fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
                      width=world.w, height=world.h, n_features=1536,
                      max_kf=48, max_lm=4096, max_obs=8, fps=10,
                      min_init_matches=60,
@@ -70,7 +72,9 @@ class TestCrossMapRelocalization:
                                  n_features=1536)
             descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
         voc = bow.train_vocabulary(np.concatenate(descs), k=6, depth=3)
-        cfg = SlamConfig(fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+        cfg = SlamConfig(
+        kf_ref_min_obs=1,  # quantized world: dense-KF cadence
+        fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
                          width=world.w, height=world.h, n_features=1536,
                          max_kf=48, max_lm=4096, max_obs=8, fps=10,
                          min_init_matches=60, vocabulary=voc,

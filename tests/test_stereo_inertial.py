@@ -31,6 +31,8 @@ def render_stereo(world, t):
 def svi_run():
     world = SynthWorld(seed=11, motion="excited")
     cfg = StereoConfig(
+        kf_ref_min_obs=1,  # quantized world: dense-KF cadence
+        
         fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
         width=world.w, height=world.h,
         n_features=1024, max_kf=48, max_lm=4096, max_obs=8, fps=10,

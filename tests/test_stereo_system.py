@@ -29,6 +29,8 @@ def render_stereo(world, t):
 def stereo_run():
     world = SynthWorld(seed=11)
     cfg = StereoConfig(
+        kf_ref_min_obs=1,  # quantized world: dense-KF cadence
+        
         fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
         width=world.w, height=world.h,
         n_features=1024, max_kf=32, max_lm=4096, max_obs=8, fps=10,

@@ -12,7 +12,9 @@ pytestmark = pytest.mark.slow  # full-pipeline tier (deselected by default, see 
 
 
 def make_slam(world):
-    cfg = SlamConfig(fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+    cfg = SlamConfig(
+        kf_ref_min_obs=1,  # quantized world: dense-KF cadence
+        fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
                      width=world.w, height=world.h, n_features=1536,
                      max_kf=48, max_lm=4096, max_obs=8, fps=10,
                      min_init_matches=60, use_loop_closing=False)
