@@ -33,7 +33,7 @@ import numpy as np
 from ..models import map_state as ms
 from ..ops import imu, lie
 from ..solver import inertial, inertial_ba
-from . import tracking
+from . import mapping, tracking
 from .system import (LOST, NOT_INITIALIZED, OK, RECENTLY_LOST, MonoSlam,
                      SlamConfig)
 
@@ -602,10 +602,16 @@ class MonoInertialSlam(MonoSlam):
                 self._initialize_imu(kf_id)
             return
         if self.viba_stage == 1 and span > 5.0:
+            # VIBA1 is a full InitializeIMU(1.f, 1e5) — inertial-only
+            # scale/gravity re-solve + rebase BEFORE the FIBA
+            # (LocalMapping.cc:274-276).
+            self._inertial_refit(kf_id, prior_g=1.0, prior_a=1e5)
             self._full_inertial_ba(kf_id, prior_g=1.0, prior_a=1e5)
             self.viba_stage = 2
             self._refresh_inertial_context(kf_id)
         elif self.viba_stage == 2 and span > 15.0:
+            # VIBA2 = InitializeIMU(0.f, 0.f) (LocalMapping.cc:288-290).
+            self._inertial_refit(kf_id, prior_g=0.0, prior_a=0.0)
             self._full_inertial_ba(kf_id, prior_g=0.0, prior_a=0.0)
             self.viba_stage = 3
             self._refresh_inertial_context(kf_id)
@@ -690,12 +696,22 @@ class MonoInertialSlam(MonoSlam):
     def _chain_length(self, kf_id: int) -> int:
         return len(self._chain(kf_id))
 
-    def _initialize_imu(self, kf_id: int):
-        """InitializeIMU (LocalMapping.cc:1516): inertial-only MAP for
-        gravity/scale/bias/velocities, then map rebase + full VI-BA."""
+    def _inertial_refit(self, kf_id: int, prior_g: float, prior_a: float):
+        """InertialOptimization + ApplyScaledRotation core of InitializeIMU
+        (LocalMapping.cc:1516 / Optimizer.cc:3688): inertial-only MAP for
+        gravity/scale/bias/velocities with the visual map frozen, then the
+        Sim3 map rebase. Returns the solved scale, or None when the solve
+        is unusable (non-finite / collapsed).
+
+        The reference re-runs this WHOLE routine at VIBA1 (priors 1, 1e5)
+        and VIBA2 (priors 0, 0) — LocalMapping::Run :274-290 calls
+        InitializeIMU again, not just FullInertialBA — so the init-time
+        scale error is re-solved in closed form each time instead of
+        leaking out slowly through the FIBA reprojection terms.
+        """
         ids = self._chain(kf_id)
-        if any(self.kf_preint[k] is None for k in ids[1:]):
-            return
+        if len(ids) < 3 or any(self.kf_preint[k] is None for k in ids[1:]):
+            return None
         kfs = self.state.kfs
         R_np = np.asarray(kfs.R)
         t_np = np.asarray(kfs.t)
@@ -708,9 +724,32 @@ class MonoInertialSlam(MonoSlam):
                                            for k in ids[1:]])
         res = inertial.inertial_only_optimization(
             jnp.asarray(R_wb), jnp.asarray(p_w), preints,
-            prior_g=self.imu_init_prior[0], prior_a=self.imu_init_prior[1],
+            prior_g=prior_g, prior_a=prior_a,
             fix_scale=self.imu_fix_scale)
         scale = float(res.scale)
+        if not np.isfinite(scale) or scale < 1e-1:
+            return scale
+
+        # --- ApplyScaledRotation (Map.h:118): gravity-align + rescale. ---
+        R_gw = np.asarray(res.R_wg).T.astype(np.float32)
+        self._rebase_gravity_scale(R_gw, scale)
+
+        # Velocities (old-world metric) -> new world axes.
+        vel = np.asarray(res.vel) @ R_gw.T
+        rows = jnp.asarray(np.asarray(ids))
+        self.kf_vel = self.kf_vel.at[rows].set(jnp.asarray(vel))
+        self.kf_bg = self.kf_bg.at[rows].set(res.bg)
+        self.kf_ba = self.kf_ba.at[rows].set(res.ba)
+        self._bias = np.concatenate([np.asarray(res.bg), np.asarray(res.ba)])
+        return scale
+
+    def _initialize_imu(self, kf_id: int):
+        """InitializeIMU (LocalMapping.cc:1516): inertial-only MAP for
+        gravity/scale/bias/velocities, then map rebase + full VI-BA."""
+        scale = self._inertial_refit(kf_id, self.imu_init_prior[0],
+                                     self.imu_init_prior[1])
+        if scale is None:
+            return
         if not np.isfinite(scale):
             # IMU divergence (mbBadImu, LocalMapping.cc:186-193 consumed at
             # Tracking.cc:2704-2708): repeated non-finite inits condemn the
@@ -725,18 +764,6 @@ class MonoInertialSlam(MonoSlam):
             return
         if scale < 1e-1:
             return
-
-        # --- ApplyScaledRotation (Map.h:118): gravity-align + rescale. ---
-        R_gw = np.asarray(res.R_wg).T.astype(np.float32)
-        self._rebase_gravity_scale(R_gw, scale)
-
-        # Velocities (old-world metric) -> new world axes.
-        vel = np.asarray(res.vel) @ R_gw.T
-        rows = jnp.asarray(np.asarray(ids))
-        self.kf_vel = self.kf_vel.at[rows].set(jnp.asarray(vel))
-        self.kf_bg = self.kf_bg.at[rows].set(res.bg)
-        self.kf_ba = self.kf_ba.at[rows].set(res.ba)
-        self._bias = np.concatenate([np.asarray(res.bg), np.asarray(res.ba)])
 
         self.imu_ready = True
         self.viba_stage = 1

@@ -62,6 +62,13 @@ def main():
     ap.add_argument("--max-kf", type=int, default=192)
     ap.add_argument("--max-lm", type=int, default=16384)
     ap.add_argument("--local-lm-window", type=int, default=4096)
+    ap.add_argument("--motion", default="loop", choices=["loop", "tour"],
+                    help="'loop': orbit in front of one slab (whole field "
+                         "stays covisible; exercises merges, not loops). "
+                         "'tour': circle inside a point ring yawing outward "
+                         "— covisibility breaks with arc distance, drift "
+                         "accumulates, and the revolution's revisit must "
+                         "close through place recognition (EMERGENT loop).")
     args = ap.parse_args()
 
     import jax
@@ -79,7 +86,7 @@ def main():
     from orbslam3_byzyh_tpu.utils import evaluate
     from synth_world import SynthWorld
 
-    world = SynthWorld(seed=17, motion="loop", subpix=args.subpix)
+    world = SynthWorld(seed=17, motion=args.motion, subpix=args.subpix)
     world.loop_period = args.loop_period
     baseline = 0.2
 

@@ -27,11 +27,26 @@ class SynthWorld:
         self.w, self.h = w, h
         self.fx, self.fy = fx, fy
         self.cx, self.cy = w / 2.0, h / 2.0
-        # Point field in a broad slab in front of the trajectory.
-        self.pts = np.stack([
-            self.rng.uniform(-8, 12, n_points),
-            self.rng.uniform(-5, 5, n_points),
-            self.rng.uniform(3, 9, n_points)], -1)
+        if motion == "tour":
+            # Cylindrical band of points around the camera's circular path
+            # (motion="tour"): the camera yaws outward along the orbit, so
+            # each frame sees only a ~40 deg arc of the ring — covisibility
+            # BREAKS with arc distance (unlike the "loop" slab world where
+            # the whole field stays in view and no loop can ever emerge).
+            # A full revolution revisits the start arc through place
+            # recognition only: the emergent loop-closure world.
+            phi = self.rng.uniform(0, 2 * np.pi, n_points)
+            r_p = self.TOUR_R_PTS + self.rng.uniform(-1.5, 1.5, n_points)
+            self.pts = np.stack([
+                r_p * np.sin(phi),
+                self.rng.uniform(-3.0, 3.0, n_points),
+                -r_p * np.cos(phi)], -1)
+        else:
+            # Point field in a broad slab in front of the trajectory.
+            self.pts = np.stack([
+                self.rng.uniform(-8, 12, n_points),
+                self.rng.uniform(-5, 5, n_points),
+                self.rng.uniform(3, 9, n_points)], -1)
         self.intens = self.rng.uniform(60, 255, n_points)
         self.sizes = self.rng.integers(3, 9, n_points)
         self.shapes = self.rng.integers(0, 3, n_points)
@@ -40,6 +55,9 @@ class SynthWorld:
         # nearest/second-nearest ratio test keeps true matches.
         self.sat_off = self.rng.uniform(-2.5, 2.5, (n_points, 4, 2))
         self.sat_int = self.rng.uniform(40, 255, (n_points, 4))
+
+    TOUR_R_CAM = 6.0   # camera orbit radius (motion="tour")
+    TOUR_R_PTS = 11.0  # point-ring radius; wall distance ~5 m
 
     def feature_points(self) -> np.ndarray:
         """All rendered 3D feature locations: blob centers plus the four
@@ -67,6 +85,34 @@ class SynthWorld:
         so scale/gravity are observable for visual-inertial tests.
         """
         from scipy.spatial.transform import Rotation
+        if getattr(self, "motion", "default") == "tour":
+            # Circular tour INSIDE the point ring, yawing outward: the
+            # camera looks radially at the nearby wall arc, so the visible
+            # sector advances with the orbit and first-lap structure leaves
+            # view entirely until the revolution completes. Vertical bob
+            # keeps the IMU excited.
+            T = getattr(self, "loop_period", 60.0)
+            w = 2 * np.pi / T
+            th = w * t
+            # Radial pulse + vertical bob at ~1 rad/s give the accelerometer
+            # sub-metre-period excitation (mono-inertial scale observability)
+            # without disturbing the slow outward-yawing orbit.
+            Rc, Ar, wr = self.TOUR_R_CAM, 0.25, 1.5
+            Ay, wy = 0.15, 1.2
+            r = Rc + Ar * np.sin(wr * t)
+            dr = Ar * wr * np.cos(wr * t)
+            ddr = -Ar * wr * wr * np.sin(wr * t)
+            s, c = np.sin(th), np.cos(th)
+            pos = np.array([r * s, Ay * np.sin(wy * t), -r * c])
+            vel = np.array([dr * s + r * w * c,
+                            Ay * wy * np.cos(wy * t),
+                            -dr * c + r * w * s])
+            acc = np.array([ddr * s + 2 * dr * w * c - r * w * w * s,
+                            -Ay * wy * wy * np.sin(wy * t),
+                            -ddr * c + 2 * dr * w * s + r * w * w * c])
+            # Optical axis = outward radial direction (sin th, 0, -cos th).
+            R_wc = Rotation.from_euler("y", np.pi - th).as_matrix()
+            return pos, vel, acc, R_wc
         if getattr(self, "motion", "default") == "loop":
             # Closed orbit revisiting its start every LOOP_PERIOD seconds
             # (loop-closure / soak sequences). Lateral ellipse + vertical

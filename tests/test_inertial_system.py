@@ -158,3 +158,33 @@ class TestScaleRefinement:
         ratios = np.linalg.norm(t_new[sel], axis=-1) / norms_old[sel]
         med = np.median(ratios)
         assert abs(med - 1.0 / s_err) < 0.05, med
+
+
+class TestForceCullValve:
+    """Inertial capacity-overflow valve (_force_cull_keyframes): when the
+    keyframe array fills, the most redundant mid-chain keyframes are culled
+    with their preintegration re-merged across the gap (reference analog:
+    LocalMapping::KeyFrameCulling under mbInertial, LocalMapping.cc:1269).
+    Runs LAST in this module: it mutates the shared vi_run map."""
+
+    def test_force_cull_frees_slots_and_keeps_chain(self, vi_run):
+        slam, _, _ = vi_run
+        before = int(np.asarray(slam.state.kfs.valid).sum())
+        freed = slam._force_cull_keyframes(2)
+        assert freed == 2, freed
+        after = int(np.asarray(slam.state.kfs.valid).sum())
+        assert after == before - 2
+        # The temporal chain stays connected: walking kf_prev from the
+        # newest keyframe still reaches the map's first keyframe, and every
+        # chain hop has a merged preintegration covering the gap.
+        ids = slam._chain(slam.last_kf_id)
+        assert ids[0] == slam.map_first_kf
+        valid = np.asarray(slam.state.kfs.valid)
+        for k in ids:
+            assert valid[k], k
+        for k in ids[1:]:
+            pre = slam.kf_preint[k]
+            assert pre is not None
+            prev = int(slam.kf_prev[k])
+            dt_chain = float(slam.kf_stamp[k]) - float(slam.kf_stamp[prev])
+            assert abs(float(np.asarray(pre.dT)) - dt_chain) < 1e-3
