@@ -134,20 +134,25 @@ class Atlas:
             n_visible=cur.lms.n_visible.at[lm_off:lm_off + lm_take].set(
                 oth.lms.n_visible[:lm_take]),
             first_kf=cur.lms.first_kf.at[lm_off:lm_off + lm_take].set(
-                oth.lms.first_kf[:lm_take] + kf_off),
+                jnp.where(oth.lms.first_kf[:lm_take] < kf_take,
+                          oth.lms.first_kf[:lm_take] + kf_off, -1)),
             valid=cur.lms.valid.at[lm_off:lm_off + lm_take].set(
                 oth.lms.valid[:lm_take]),
         )
 
-        # Observations: shift keyframe ids by kf_off.
+        # Observations: shift keyframe ids by kf_off. Observations of
+        # other-map keyframes that did NOT fit (capacity clip above) must
+        # die with them — a shifted id >= max_kf corrupts every consumer
+        # that indexes by obs.kf (covisibility, chains, culling).
         okf = oth.obs.kf[:lm_take]
+        okf_kept = (okf >= 0) & (okf < kf_take)
         obs = cur.obs._replace(
             kf=cur.obs.kf.at[lm_off:lm_off + lm_take].set(
-                jnp.where(okf >= 0, okf + kf_off, -1)),
+                jnp.where(okf_kept, okf + kf_off, -1)),
             kp=cur.obs.kp.at[lm_off:lm_off + lm_take].set(
-                oth.obs.kp[:lm_take]),
+                jnp.where(okf_kept, oth.obs.kp[:lm_take], -1)),
             valid=cur.obs.valid.at[lm_off:lm_off + lm_take].set(
-                oth.obs.valid[:lm_take]),
+                oth.obs.valid[:lm_take] & okf_kept),
         )
 
         self.maps[self.current] = cur._replace(kfs=kfs, lms=lms, obs=obs)
@@ -159,9 +164,11 @@ class Atlas:
                 parent = np.full(max_kf, -1, np.int32)
             parent = parent.copy()
             if po is not None:
+                # Parents beyond the transplanted range were dropped by the
+                # capacity clip: their children root at the weld instead.
                 src = po[:kf_take]
                 parent[kf_off:kf_off + kf_take] = np.where(
-                    src >= 0, src + kf_off, -1)
+                    (src >= 0) & (src < kf_take), src + kf_off, -1)
         self.meta[self.current] = MapMeta(n_kf=kf_off + kf_take,
                                           n_lm=lm_off + lm_take,
                                           kf_parent=parent)

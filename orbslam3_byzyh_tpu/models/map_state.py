@@ -143,10 +143,16 @@ def add_landmarks(state: MapState, slots, pos, desc, kf_a, kp_a, kf_b, kp_b,
         first_kf=lms.first_kf.at[safe].set(kf_a),
         valid=lms.valid.at[safe].set(True),
     )
+    # Clear the WHOLE observation row first: slots are recycled (culled
+    # landmarks free their slot device-side), and a recycled row may still
+    # carry the previous occupant's observations at indices >= 2.
     obs = obs._replace(
-        kf=obs.kf.at[safe, 0].set(kf_a).at[safe, 1].set(kf_b),
-        kp=obs.kp.at[safe, 0].set(kp_a).at[safe, 1].set(kp_b),
-        valid=obs.valid.at[safe, 0].set(True).at[safe, 1].set(True),
+        kf=obs.kf.at[safe].set(-1)
+        .at[safe, 0].set(kf_a).at[safe, 1].set(kf_b),
+        kp=obs.kp.at[safe].set(-1)
+        .at[safe, 0].set(kp_a).at[safe, 1].set(kp_b),
+        valid=obs.valid.at[safe].set(False)
+        .at[safe, 0].set(True).at[safe, 1].set(True),
     )
     return state._replace(lms=lms, obs=obs)
 

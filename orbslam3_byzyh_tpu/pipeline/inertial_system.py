@@ -357,6 +357,18 @@ class MonoInertialSlam(MonoSlam):
     _bundle_local_ba = False
 
     def _create_keyframe(self, feats, track_res, stamp):
+        # Settle deferred work BEFORE reading the slot id: the drain runs
+        # the lagging loop-closing detection, and a map MERGE in there can
+        # move n_kf (it fills the array with the transplanted map) after
+        # the _need_new_keyframe capacity check already passed. Draining
+        # here (the parent's own drain becomes a no-op) and re-checking
+        # keeps this KF's chain bookkeeping and the parent's slot id
+        # consistent — without it a merge inside the drain made the
+        # bookkeeping land on slot N while the state write went to N+1,
+        # which could even exceed max_kf (IndexError in _chain).
+        self._drain_pending()
+        if not self._kf_slot_available():
+            return
         prev = self.last_kf_id
         kf_id = self.n_kf
         self.kf_stamp[kf_id] = stamp

@@ -327,6 +327,33 @@ def global_ba(state: ms.MapState, cam_params, model_id: int = cam.PINHOLE,
     return _apply_ba_result(state, res)
 
 
+def landmark_overflow_valve(state: ms.MapState, margin: int):
+    """Array-capacity valve for landmarks: when fewer than ``margin`` free
+    slots remain, retire the live landmarks whose LAST observation is
+    oldest (smallest max observing-KF id — slot ids are allocated in
+    temporal order, so this is least-recently-seen). The reference's heap
+    map grows without bound (MapPoints only die via culling); a
+    fixed-capacity array must eventually recycle, and without this valve a
+    long run in continuously-new territory fills the array and silently
+    stops triangulating — tracking then starves and gets lost (observed in
+    the 120 s tour soak at both 16k and 64k capacity).
+
+    Landmarks observed by the newest keyframes (including the one being
+    inserted) have the largest last-seen ids and are never selected unless
+    the whole map is recent."""
+    lms, obs = state.lms, state.obs
+    L = lms.valid.shape[0]
+    n_free = (~lms.valid).sum()
+    need = jnp.maximum(jnp.asarray(margin, jnp.int32) - n_free, 0)
+    last_seen = jnp.max(jnp.where(obs.valid, obs.kf, -1), axis=1)
+    key = jnp.where(lms.valid, last_seen, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)                       # oldest-live first
+    kill = (jnp.zeros((L,), bool)
+            .at[order].set(jnp.arange(L, dtype=jnp.int32) < need)
+            & lms.valid)
+    return state._replace(lms=lms._replace(valid=lms.valid & ~kill))
+
+
 def _alloc_landmark_slots(lm_valid: jnp.ndarray, good: jnp.ndarray):
     """Allocate a free landmark slot per ``good`` row, device-side.
 
@@ -386,6 +413,13 @@ def keyframe_bundle(state: ms.MapState, kf_id, R, t, stamp, feats, ur,
     counts = ms.covisibility_counts(state, kf_id, max_kf)
     counts = jnp.where(state.kfs.valid, counts, 0).at[kf_id].set(0)
     cv, ci = jax.lax.top_k(counts, n_neighbors)
+
+    # Capacity valve BEFORE triangulation (after this KF's observations
+    # bind, so its landmarks rank newest and survive): keep at least one
+    # frame's worth of free slots per creation path — stereo KFs also
+    # back-project depth landmarks right after the bundle.
+    state = landmark_overflow_valve(
+        state, 2 * n_feat if use_stereo else n_feat)
 
     # Triangulate new landmarks against the best covisible neighbours
     # (CreateNewMapPoints :506; >= 15 shared points gate as before).

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..models import map_state as ms
 from ..ops import stereo as stereo_ops
+from . import mapping
 from . import system as base
 
 
@@ -173,11 +174,6 @@ class StereoSlam(base.MonoSlam):
         n_new = int(np.asarray(mask).sum())
         if n_new == 0:
             return 0
-        room = self.cfg.max_lm - self.n_lm
-        if n_new > room:
-            n_new = room
-            if n_new <= 0:
-                return 0
         fx, fy, cx, cy = (self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy)
         x = (feats.xy[:, 0] - cx) / fx * depth
         y = (feats.xy[:, 1] - cy) / fy * depth
@@ -193,15 +189,19 @@ class StereoSlam(base.MonoSlam):
         max_dist = dist * 1.2 ** level_f
         min_dist = max_dist / 1.2 ** 7
 
-        order = jnp.cumsum(mask.astype(jnp.int32)) - 1
-        slots = self.n_lm + order
-        write = mask & (order < n_new)
+        # Free-slot allocation (recycles culled slots, same as the
+        # triangulation path in mapping.keyframe_bundle — the old
+        # high-water-cursor allocation never reused freed slots, so long
+        # stereo runs exhausted max_lm while the array held dead rows).
+        slots, write = mapping._alloc_landmark_slots(self.state.lms.valid,
+                                                     mask)
         kp_idx = jnp.arange(self.cfg.n_features, dtype=jnp.int32)
         self.state = ms.add_landmarks(
             self.state, slots, pw, feats.desc,
             kf_id, kp_idx, kf_id, kp_idx,
             write, normal, min_dist, max_dist)
-        self.n_lm += n_new
+        self.n_lm = max(self.n_lm, int(jnp.max(
+            jnp.where(write, slots + 1, 0))))
 
         # Bind them into the live tracking context if present.
         if self._last is not None:

@@ -799,8 +799,13 @@ class MonoSlam:
         threads with a lagging LoopClosing queue (System.cc:223-265).
         """
         # Settle the PREVIOUS keyframe's deferred work first (its bundle has
-        # had a whole KF interval of device time to finish).
+        # had a whole KF interval of device time to finish). The drain can
+        # run a lagging loop-closing MERGE that fills the keyframe array
+        # (atlas.merge transplants a whole map), so re-check capacity after
+        # it — the _need_new_keyframe check predates the drain.
         self._drain_pending()
+        if self.n_kf >= self.cfg.max_kf - 1 and not self._kf_slot_available():
+            return
         kf_id = self.n_kf
         ba_kw = self._ba_kwargs()
         use_stereo = bool(ba_kw.get("use_stereo")) and self._ur is not None

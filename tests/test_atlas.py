@@ -113,7 +113,8 @@ class TestAtlasResume:
         cfg = SlamConfig(fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
                          width=world.w, height=world.h, n_features=1536,
                          max_kf=64, max_lm=8192, max_obs=8, fps=10,
-                         min_init_matches=60, vocabulary=voc)
+                         min_init_matches=60, vocabulary=voc,
+                         kf_ref_min_obs=1)  # quantized world: dense cadence
         slam = MonoSlam(cfg)
         for t in np.arange(0, 2.5, 0.1):
             slam.track(world.render(t), float(t))
@@ -123,17 +124,21 @@ class TestAtlasResume:
         slam.save_atlas_checkpoint(ckpt)
 
         # Fresh engine resumes from the checkpoint and revisits the place:
-        # the loaded map must be merged back in (or relocalized into).
+        # the loaded map must be re-joined — either MERGED back through the
+        # welding Sim3, or re-entered directly through cross-map
+        # relocalization (the round-5 path: reloc candidates span the whole
+        # Atlas and a hit in a non-active map switches into it, which fires
+        # BEFORE the young fresh map can mature enough to merge).
         slam2 = MonoSlam(cfg)
         slam2.load_atlas_checkpoint(ckpt)
         assert len(slam2.atlas.maps) == 2   # loaded + fresh active
-        merged = False
+        rejoined = False
         for i, t in enumerate(np.arange(0.5, 2.4, 0.1)):
             slam2.track(world.render(t), 5.0 + 0.1 * i)
-            if len(slam2.atlas.maps) == 1:
-                merged = True
-                break
-        assert merged, "loaded atlas never re-joined"
+            if (len(slam2.atlas.maps) == 1
+                    or slam2.n_cross_map_relocs >= 1):
+                rejoined = True
+        assert rejoined, "loaded atlas never re-joined"
         assert slam2.n_kf > kf_before * 0.8
 
 
@@ -149,10 +154,15 @@ def test_map_invariants_hold_after_run():
     cfg = SlamConfig(fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
                      width=world.w, height=world.h, n_features=1536,
                      max_kf=48, max_lm=4096, max_obs=8, fps=10,
-                     min_init_matches=60, use_loop_closing=False)
+                     min_init_matches=60, use_loop_closing=False,
+                     kf_ref_min_obs=1)
     slam = MonoSlam(cfg)
     for t in np.arange(0, 2.0, 0.1):
         slam.track(world.render(t), float(t))
+    # Settle the async keyframe bundle first: its landmark high-water mark
+    # is read back lazily, so the host n_lm cursor trails the device state
+    # until the drain (by design — see MonoSlam._drain_pending).
+    slam._drain_pending()
     errs = ms.check_invariants(slam.state, slam.n_kf, slam.n_lm)
     assert errs == [], errs
 

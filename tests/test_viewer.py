@@ -20,7 +20,7 @@ def test_snapshot_renders(tmp_path):
     cfg = SlamConfig(fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
                      width=world.w, height=world.h, n_features=512,
                      max_kf=16, max_lm=2048, max_obs=6, fps=10,
-                     use_loop_closing=False)
+                     use_loop_closing=False, kf_ref_min_obs=1)
     slam = MonoSlam(cfg)
     img = None
     for t in np.arange(0, 1.2, 0.1):
